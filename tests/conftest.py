@@ -1,0 +1,21 @@
+import os
+import sys
+from pathlib import Path
+
+# Tests validate bit-exactness against the double-precision reference, so they
+# run on the CPU backend with x64 enabled (TPU has no f64).  A virtual
+# 8-device mesh is exposed for sharding tests.  Note: this environment
+# preimports jax and points JAX_PLATFORMS at the axon TPU tunnel via
+# sitecustomize, so we must switch platforms through jax.config (env vars are
+# read before conftest runs).
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
