@@ -1,0 +1,309 @@
+"""Batched Layer-II scalefactor / scfsi / bit-allocation / quantization.
+
+Re-expression of libtoolame-dab/encode_new.c for [S]-stream batches.  The
+reference's data-dependent loops become:
+  scalefactor binary search  -> comparison count against the 64-entry table
+  scfsi class/pattern logic  -> table gathers + selects
+  joint-stereo mode_ext walk -> 5 vectorised bits_for_nonoise variants
+  greedy min-MNR allocation  -> lax.while_loop with per-stream done flags,
+                                argmin tie-break matching the C scan order
+  quantizer                  -> elementwise (d*a+b, MSB invert)
+
+All decision comparisons replicate the C expressions so the f64 path is
+bit-exact; the same code runs in f32 on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+
+SBLIMIT = 32
+BANC = 32  # header bits
+BERR = 16  # CRC bits (error_protection always on in the DAB tool)
+
+
+def scalefactor_calc(sb_sample, dtype):
+    """sb_sample: [..., 3, 12, 32] -> sf indices [..., 3, 32]
+    (scalefactor_calc_new, encode_new.c:179-230)."""
+    cur_max = jnp.abs(sb_sample).max(axis=-2)  # [..., 3, 32]
+    tab = jnp.asarray(T.SCALEFACTOR, dtype)
+    count = (tab >= cur_max[..., None]).sum(axis=-1)
+    return jnp.clip(count - 1, 0, 63).astype(jnp.int32)
+
+
+def find_sf_max(sf_index, sblimit, dtype):
+    """multiple[min over gr] per (ch, sb); 1e-20 above sblimit
+    (find_sf_max, encode_new.c:260-277).  sf_index: [B, 2, 3, 32]."""
+    low = sf_index.min(axis=-2)  # [B, 2, 32]
+    mult = jnp.asarray(T.SCALEFACTOR, dtype)[low]
+    mask = jnp.arange(SBLIMIT) < sblimit[:, None, None]
+    return jnp.where(mask, mult, 1e-20)
+
+
+def combine_lr(sb_sample):
+    """joint = .5*(L+R) (combine_LR_new, encode_new.c:237-246)."""
+    return 0.5 * (sb_sample[:, 0] + sb_sample[:, 1])
+
+
+# scfsi pattern -> (code, action) where action selects the rewritten
+# (sf0, sf1, sf2).  Patterns enumerated: 0x123,0x122,0x133,0x113,0x111,
+# 0x222,0x333,0x444  (sf_transmission_pattern, encode_new.c:288-354)
+_PATTERNS = [0x123, 0x122, 0x133, 0x113, 0x111, 0x222, 0x333, 0x444]
+_PAT_CODE = np.array([0, 3, 3, 1, 2, 2, 2, 2], np.int32)
+_PAT_LUT = np.zeros((5, 5), np.int32)
+for _i in range(5):
+    for _j in range(5):
+        _PAT_LUT[_i, _j] = _PATTERNS.index(int(T.SCFSI_PATTERN[_i, _j]))
+
+
+def sf_transmission_pattern(sf_index):
+    """sf_index: [B, 2, 3, 32] -> (adjusted sf_index, scfsi [B, 2, 32])."""
+    sf0, sf1, sf2 = sf_index[..., 0, :], sf_index[..., 1, :], sf_index[..., 2, :]
+    d0 = sf0.astype(jnp.int32) - sf1.astype(jnp.int32)
+    d1 = sf1.astype(jnp.int32) - sf2.astype(jnp.int32)
+
+    def classify(d):
+        return jnp.where(d <= -3, 0,
+               jnp.where(d < 0, 1,
+               jnp.where(d == 0, 2,
+               jnp.where(d < 3, 3, 4))))
+
+    pat = jnp.asarray(_PAT_LUT)[classify(d0), classify(d1)]  # [B, 2, 32]
+    code = jnp.asarray(_PAT_CODE)[pat]
+
+    min02 = jnp.minimum(sf0, sf2)
+    # per-pattern rewritten scalefactors
+    n0 = jnp.select([pat == 5, pat == 6, pat == 7], [sf1, sf2, min02], sf0)
+    n1 = jnp.select([pat == 3, pat == 4, pat == 2, pat == 5, pat == 6, pat == 7],
+                    [sf0, sf0, sf2, sf1, sf2, min02], sf1)
+    n2 = jnp.select([pat == 1, pat == 4, pat == 5, pat == 6, pat == 7],
+                    [sf1, sf0, sf1, sf2, min02], sf2)
+    out = jnp.stack([n0, n1, n2], axis=-2)
+    return out, code
+
+
+def _frame_tables(tablenum):
+    """Per-stream gathered alloc tables.  tablenum: [B] -> dict of [B,32] /
+    [B,32,16] arrays.  line==-1 (above sblimit) maps to nbal 0, matching the
+    reference's benign OOB read of nbal[-1] (== step_index[8][15] == 0)."""
+    line = jnp.asarray(T.LINE)[tablenum]  # [B, 32]
+    line_c = jnp.maximum(line, 0)
+    nbal = jnp.where(line < 0, 0, jnp.asarray(T.NBAL)[line_c])
+    step_idx = jnp.asarray(T.STEP_INDEX)[line_c]  # [B, 32, 16]
+    max_alloc = (1 << nbal) - 1  # [B, 32]; 0 above sblimit
+    return {"line": line, "nbal": nbal, "step_idx": step_idx, "max_alloc": max_alloc}
+
+
+def _ba_for_mnr(smr, step_idx, max_alloc, sblimit, nch, jsbound, dtype):
+    """First allocation index reaching min_mnr=0 per (ch, sb), with the
+    joint-stereo continuation = max over channels above jsbound
+    (bits_for_nonoise_new, encode_new.c:668-703)."""
+    snr = jnp.asarray(T.SNR, dtype)[step_idx]  # [B, 32, 16]
+    ok = (snr[:, None] - smr[..., None]) >= 0.0  # [B, 2, 32, 16]
+    ok = ok & (jnp.arange(16) < (max_alloc[:, None, :, None] - 1))
+    # first index where ok, else max_alloc-1
+    first = jnp.argmax(ok, axis=-1)
+    any_ok = ok.any(axis=-1)
+    ba = jnp.where(any_ok, first, jnp.maximum(max_alloc[:, None, :] - 1, 0))
+    # joint: above jsbound use max over channels (and only ch0 slot counts)
+    is_js = (jnp.arange(SBLIMIT)[None, :] >= jsbound[:, None]) & (nch[:, None] == 2)
+    ba_js = jnp.maximum(ba[:, 0], ba[:, 1])
+    ba = ba.at[:, 0].set(jnp.where(is_js, ba_js, ba[:, 0]))
+    return ba  # [B, 2, 32]
+
+
+def bits_for_nonoise(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
+    """Total bits required for transparent coding at a given jsbound
+    (bits_for_nonoise_new)."""
+    sb = jnp.arange(SBLIMIT)[None, :]
+    below = sb < sblimit[:, None]
+    chmul = jnp.where(sb < jsbound[:, None], nch[:, None], 1)
+    bbal = (ft["nbal"] * chmul * below).sum(axis=1)
+    req = BANC + bbal + BERR
+
+    ba = _ba_for_mnr(smr, ft["step_idx"], ft["max_alloc"], sblimit, nch, jsbound, dtype)
+    si = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1), ba[..., None], -1)[..., 0]
+    smp = 12 * jnp.asarray(T.GROUP)[si] * jnp.asarray(T.BITS)[si]  # [B,2,32]
+    sfs = jnp.asarray(T.SFS_PER_SCFSI)[scfsi]  # [B,2,32]
+    sel = jnp.full_like(smp, 2)
+    sc = 6 * sfs
+    is_js = (sb >= jsbound[:, None])[:, None, :] & (nch[:, None, None] == 2)
+    sel = sel + jnp.where(is_js, 2, 0)
+    sc = sc + jnp.where(is_js, 6 * sfs[:, ::-1], 0)
+    # channel loop: ch < nch below jsbound, ch < 1 above
+    ch_on = jnp.stack([jnp.ones_like(is_js[:, 0]),
+                       (~is_js[:, 0]) & (nch[:, None] == 2)], axis=1)
+    active = ch_on & below[:, None, :] & (ba > 0)
+    req = req + jnp.where(active, smp + sel + sc, 0).sum(axis=(1, 2))
+    return req
+
+
+def js_mode_select(smr, scfsi, ft, sblimit, nch, is_joint, adb, dtype):
+    """Joint-stereo mode_ext walk-down (main_bit_allocation_new,
+    encode_new.c:803-819).  Returns (mode_is_stereo [B]bool, mode_ext [B],
+    jsbound [B])."""
+    variants = [sblimit, jnp.full_like(sblimit, 16), jnp.full_like(sblimit, 12),
+                jnp.full_like(sblimit, 8), jnp.full_like(sblimit, 4)]
+    reqs = [bits_for_nonoise(smr, scfsi, ft, sblimit, nch, v, dtype) for v in variants]
+    fits = [r <= adb for r in reqs]
+    # first fitting variant in order [stereo, ext3, ext2, ext1]; else ext0
+    idx = jnp.select([fits[0], fits[1], fits[2], fits[3]],
+                     [0, 1, 2, 3], 4)
+    idx = jnp.where(is_joint, idx, 0)
+    mode_is_stereo = idx == 0
+    mode_ext = jnp.where(mode_is_stereo, 0, 4 - idx)
+    jsbound = jnp.where(is_joint & ~mode_is_stereo,
+                        jnp.asarray(T.JSB_TABLE)[jnp.clip(mode_ext, 0, 3)], sblimit)
+    return mode_is_stereo, mode_ext, jsbound
+
+
+def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
+    """Greedy min-MNR allocation (a_bit_allocation_new, encode_new.c:1078-1187).
+    Returns (bit_alloc [B,2,32] int32, adb_left [B])."""
+    B = smr.shape[0]
+    sb = jnp.arange(SBLIMIT)[None, :]
+    below = sb < sblimit[:, None]
+    chmul = jnp.where(sb < jsbound[:, None], nch[:, None], 1)
+    bbal = (ft["nbal"] * chmul * below).sum(axis=1)
+    ad = adb - (bbal + BERR + BANC)
+
+    snr_tab = jnp.asarray(T.SNR, dtype)
+    group_tab = jnp.asarray(T.GROUP)
+    bits_tab = jnp.asarray(T.BITS)
+    sfs_tab = jnp.asarray(T.SFS_PER_SCFSI)
+
+    mnr0 = snr_tab[0] - smr  # [B, 2, 32]
+    ch_valid = jnp.arange(2)[None, :, None] < nch[:, None, None]
+    valid = ch_valid & below[:, None, :]
+    used0 = jnp.where(valid, 0, 2).astype(jnp.int32)
+
+    state = dict(
+        bit_alloc=jnp.zeros((B, 2, SBLIMIT), jnp.int32),
+        used=used0,
+        mnr=mnr0,
+        bspl=jnp.zeros((B,), jnp.int32),
+        bscf=jnp.zeros((B,), jnp.int32),
+        bsel=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+    )
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    flat_si = ft["step_idx"]  # [B, 32, 16]
+
+    def cond(st):
+        return ~jnp.all(st["done"])
+
+    def body(st):
+        # maxmnr_new starts from small=999999.0, so entries at/above that are
+        # never selectable (encode_new.c:1061-1077)
+        open_ = (st["used"] != 2) & (st["mnr"] < 999999.0)
+        mnr_m = jnp.where(open_, st["mnr"], inf).reshape(B, 64)
+        flat = jnp.argmin(mnr_m, axis=1)  # first min wins ties = C scan order
+        any_open = open_.reshape(B, 64).any(axis=1)
+        act = any_open & ~st["done"]
+        min_ch = flat // SBLIMIT
+        min_sb = flat % SBLIMIT
+
+        def g2(a):  # gather a[B,2,32] at (min_ch, min_sb)
+            return jnp.take_along_axis(a.reshape(B, 64), flat[:, None], 1)[:, 0]
+
+        def gsb(a):  # gather a[B,32] at min_sb
+            return jnp.take_along_axis(a, min_sb[:, None], 1)[:, 0]
+
+        ba_cur = g2(st["bit_alloc"])
+        used_cur = g2(st["used"])
+        si_row = jnp.take_along_axis(flat_si, min_sb[:, None, None], 1)[:, 0]  # [B,16]
+        si_next = jnp.take_along_axis(si_row, jnp.clip(ba_cur + 1, 0, 15)[:, None], 1)[:, 0]
+        si_cur = jnp.take_along_axis(si_row, ba_cur[:, None], 1)[:, 0]
+        increment = 12 * group_tab[si_next] * bits_tab[si_next]
+        increment = increment - jnp.where(used_cur == 1,
+                                          12 * group_tab[si_cur] * bits_tab[si_cur], 0)
+        oth_ch = 1 - min_ch
+        scfsi_min = g2(scfsi)
+        scfsi_oth = jnp.take_along_axis(scfsi.reshape(B, 64),
+                                        (oth_ch * SBLIMIT + min_sb)[:, None], 1)[:, 0]
+        fresh = used_cur == 0
+        is_js = (min_sb >= jsbound) & (nch == 2)
+        seli = jnp.where(fresh, jnp.where(is_js, 4, 2), 0)
+        scale = jnp.where(fresh,
+                          6 * sfs_tab[scfsi_min] + jnp.where(is_js, 6 * sfs_tab[scfsi_oth], 0),
+                          0)
+
+        cost = st["bspl"] + st["bscf"] + st["bsel"] + seli + scale + increment
+        fits = ad >= cost
+        alloc = act & fits
+        freeze = act & ~fits
+
+        ba_new = ba_cur + 1
+        max_a = gsb(ft["max_alloc"])
+        new_used = jnp.where(alloc & (ba_new >= max_a), 2,
+                   jnp.where(alloc, 1, jnp.where(freeze, 2, used_cur)))
+        si_new = jnp.take_along_axis(si_row, jnp.clip(ba_new, 0, 15)[:, None], 1)[:, 0]
+        smr_min = g2(smr)
+        mnr_new = snr_tab[si_new] - smr_min
+
+        def scat(a, idx_flat, val, on):
+            cur = jnp.take_along_axis(a.reshape(B, 64), idx_flat[:, None], 1)[:, 0]
+            v = jnp.where(on, val, cur)
+            return a.reshape(B, 64).at[jnp.arange(B), idx_flat].set(v).reshape(B, 2, SBLIMIT)
+
+        bit_alloc = scat(st["bit_alloc"], flat, ba_new, alloc)
+        used = scat(st["used"], flat, new_used, alloc | freeze)
+        mnr = scat(st["mnr"], flat, mnr_new, alloc)
+
+        # joint mirror: above jsbound the allocation applies to both channels
+        oth_flat = oth_ch * SBLIMIT + min_sb
+        mirror = is_js & (alloc | freeze) & act
+        smr_oth = jnp.take_along_axis(smr.reshape(B, 64), oth_flat[:, None], 1)[:, 0]
+        ba_mirror = jnp.where(alloc, ba_new, ba_cur)
+        si_mir = jnp.take_along_axis(si_row, jnp.clip(ba_mirror, 0, 15)[:, None], 1)[:, 0]
+        bit_alloc = scat(bit_alloc, oth_flat, ba_mirror, mirror)
+        used = scat(used, oth_flat, jnp.where(alloc, new_used,
+                                              jnp.asarray(2, jnp.int32)), mirror)
+        mnr = scat(mnr, oth_flat, snr_tab[si_mir] - smr_oth, mirror)
+
+        return dict(
+            bit_alloc=bit_alloc, used=used, mnr=mnr,
+            bspl=st["bspl"] + jnp.where(alloc, increment, 0),
+            bscf=st["bscf"] + jnp.where(alloc, scale, 0),
+            bsel=st["bsel"] + jnp.where(alloc, seli, 0),
+            done=st["done"] | ~any_open,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    adb_left = ad - (st["bspl"] + st["bscf"] + st["bsel"])
+    return st["bit_alloc"], adb_left
+
+
+def quantize(sf_index, sb_sample, j_scale, j_sample, bit_alloc, ft,
+             sblimit, nch, jsbound, dtype):
+    """Subband quantization (subband_quantization_new, encode_new.c:479-547).
+
+    sf_index: [B,2,3,32] (post-scfsi); sb_sample: [B,2,3,12,32];
+    j_scale: [B,3,32]; j_sample: [B,3,12,32]; bit_alloc: [B,2,32].
+    Returns sbband [B,2,3,12,32] int32."""
+    sftab = jnp.asarray(T.SCALEFACTOR, dtype)
+    sb = jnp.arange(SBLIMIT)
+    is_js = (sb[None, :] >= jsbound[:, None]) & (nch[:, None] == 2)  # [B,32]
+
+    scale = sftab[sf_index]  # [B,2,3,32]
+    d_own = sb_sample / scale[:, :, :, None, :]
+    d_js = j_sample / sftab[j_scale][:, :, None, :]  # [B,3,12,32]
+    d = jnp.where(is_js[:, None, None, None, :], d_js[:, None], d_own)
+
+    si = jnp.take_along_axis(ft["step_idx"], bit_alloc.transpose(0, 2, 1), -1)  # [B,32,2]
+    si = si.transpose(0, 2, 1)[:, :, None, None, :]  # [B,2,1,1,32]
+    a = jnp.asarray(T.QUANT_A, dtype)[si]
+    b = jnp.asarray(T.QUANT_B, dtype)[si]
+    s2n = jnp.asarray(T.STEPS2N)[si]
+
+    q = d * a + b
+    neg = q < 0
+    q = jnp.where(neg, q + 1.0, q)
+    v = (q * s2n.astype(dtype)).astype(jnp.int32)
+    v = jnp.where(~neg, v | s2n, v)
+
+    active = (bit_alloc > 0)[:, :, None, None, :] & \
+             (sb[None, None, None, None, :] < sblimit[:, None, None, None, None])
+    return jnp.where(active, v, 0)

@@ -1,0 +1,196 @@
+"""Batched MP2 encoder: per-stream config, carried state, jitted encode step.
+
+The device step advances all S streams by one 1152-sample frame and emits the
+integer coding decisions (scalefactors, scfsi, allocations, quantized
+codewords); byte-level packing/CRC stays on the host (pack.py), mirroring the
+reference split where toolame.c:267-553 drives DSP then bit-packs.
+"""
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables as T
+from . import allocate, polyphase, psycho0, psycho1
+
+MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
+_MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
+
+
+@dataclass
+class Mp2Config:
+    """Per-stream static configuration (numpy arrays of shape [S])."""
+    version: np.ndarray        # 1=MPEG-1, 0=MPEG-2 LSF
+    sfreq_idx: np.ndarray      # header sampling_frequency index
+    bitrate_idx: np.ndarray
+    mode: np.ndarray           # header mode at init (0..3)
+    nch: np.ndarray
+    tablenum: np.ndarray
+    sblimit: np.ndarray
+    dab_ext: np.ndarray        # 2 or 4 scf-crc bytes
+    dab_length: np.ndarray     # xpad buffer length (0 if no PAD)
+    adb_full: np.ndarray       # frame bits before DAB reservation
+    lg_frame: np.ndarray       # frame bytes
+    low_rate: np.ndarray       # per-channel bitrate < 96 (psy1 hear offset)
+    psy_rate_idx: np.ndarray   # psy-1 table index (sfreq_idx [+4 for MPEG-2])
+    bitrate_kbps: np.ndarray
+
+    @property
+    def n_streams(self):
+        return len(self.version)
+
+
+def make_config(streams):
+    """streams: list of dicts {rate, bitrate, mode, pad_len(optional)}.
+    Mirrors toolame_set_* + encode_init (toolame.c:212-262,
+    encode_new.c:104-156, odr-audioenc.cpp:686-735)."""
+    n = len(streams)
+    f = {k: np.zeros(n, np.int32) for k in
+         ["version", "sfreq_idx", "bitrate_idx", "mode", "nch", "tablenum",
+          "sblimit", "dab_ext", "dab_length", "adb_full", "lg_frame",
+          "psy_rate_idx", "bitrate_kbps"]}
+    low_rate = np.zeros(n, bool)
+    for i, s in enumerate(streams):
+        rate, br, mode = s["rate"], s["bitrate"], s["mode"]
+        version, sfidx = {44100: (1, 0), 48000: (1, 1), 32000: (1, 2),
+                          22050: (0, 0), 24000: (0, 1), 16000: (0, 2)}[rate]
+        br_idx = list(T.BITRATE_TABLE[version]).index(br)
+        m = _MODE_OF[mode]
+        nch = 1 if m == MODE_MONO else 2
+        br_per_ch = br // nch
+        dab_ext = 4
+        if version == 1 and br_per_ch < 56:
+            dab_ext = 2
+        sfrq = T.S_FREQ_KHZ[version][sfidx]
+        if version == 1:
+            if (sfrq == 48 and br_per_ch >= 56) or (56 <= br_per_ch <= 80):
+                tablenum = 0
+            elif sfrq != 48 and br_per_ch >= 96:
+                tablenum = 1
+            elif sfrq != 32 and br_per_ch <= 48:
+                tablenum = 2
+            else:
+                tablenum = 3
+        else:
+            tablenum = 4
+        average = (1152.0 / sfrq) * (br / 8.0)
+        whole = int(average)
+        assert average == whole, f"fractional slot rates unsupported ({rate}Hz)"
+        adb_full = whole * 8
+        f["version"][i] = version
+        f["sfreq_idx"][i] = sfidx
+        f["bitrate_idx"][i] = br_idx
+        f["mode"][i] = m
+        f["nch"][i] = nch
+        f["tablenum"][i] = tablenum
+        f["sblimit"][i] = T.TABLE_SBLIMIT[tablenum]
+        f["dab_ext"][i] = dab_ext
+        f["dab_length"][i] = s.get("pad_len", 0)
+        f["adb_full"][i] = adb_full
+        f["lg_frame"][i] = whole
+        f["psy_rate_idx"][i] = sfidx + (0 if version == 1 else 4)
+        f["bitrate_kbps"][i] = br
+        low_rate[i] = br_per_ch < 96
+    return Mp2Config(low_rate=low_rate, **f)
+
+
+class Mp2Encoder:
+    """Stream-batched MP2 encoder.  One instance per (batch of) streams."""
+
+    def __init__(self, config: Mp2Config, psy_model=1, dtype=jnp.float64):
+        self.cfg = config
+        self.psy_model = psy_model
+        self.dtype = dtype
+        S = config.n_streams
+        rate_idx2 = np.repeat(config.psy_rate_idx, 2)
+        self.psy1_tabs = {k: jnp.asarray(v) for k, v in
+                          psycho1.make_psy1_tables(rate_idx2).items()} \
+            if psy_model == 1 else None
+        if psy_model == 0:
+            self.ath_min = jnp.asarray(np.stack([
+                T.psy0_ath_min(1000.0 * T.S_FREQ_KHZ[v][si])
+                for v, si in zip(config.version, config.sfreq_idx)]), dtype)
+        self._dev = {k: jnp.asarray(getattr(config, k)) for k in
+                     ["sblimit", "nch", "mode", "dab_ext", "adb_full",
+                      "tablenum", "low_rate", "version"]}
+        self._step = jax.jit(partial(self._encode_step))
+
+    def init_state(self):
+        S = self.cfg.n_streams
+        return {"hist": jnp.zeros((S, 2, 480), self.dtype)}
+
+    def _encode_step(self, state, pcm, xpad_len):
+        """pcm: [S, 2, 1152] int16; xpad_len: [S] int32.
+        Returns (state', outputs) - see pack.py for the consumer."""
+        cfg = self._dev
+        dtype = self.dtype
+        S = pcm.shape[0]
+        frame = pcm.astype(dtype) / T.SCALE
+
+        sb_s, hist = polyphase.polyphase_frame(state["hist"], frame, dtype)
+        sb_sample = sb_s.reshape(S, 2, 3, 12, 32)
+
+        sblimit = cfg["sblimit"]
+        nch = cfg["nch"]
+        sbmask = jnp.arange(32)[None, :] < sblimit[:, None]
+
+        sf_index = allocate.scalefactor_calc(sb_sample, dtype)
+        sf_index = jnp.where(sbmask[:, None, None, :], sf_index, 0)
+        scale_max = allocate.find_sf_max(sf_index, sblimit, dtype)
+
+        j_sample = allocate.combine_lr(sb_sample)  # [S,3,12,32]
+        j_scale = allocate.scalefactor_calc(j_sample, dtype)
+        j_scale = jnp.where(sbmask[:, None, :], j_scale, 0)
+
+        if self.psy_model == 1:
+            window = jnp.concatenate([state["hist"][..., 288:], frame[..., :832]],
+                                     axis=-1).reshape(S * 2, 1024)
+            smr = psycho1.psycho_1(window, scale_max.reshape(S * 2, 32),
+                                   self.psy1_tabs,
+                                   jnp.repeat(cfg["low_rate"], 2),
+                                   dtype).reshape(S, 2, 32)
+        elif self.psy_model == 0:
+            smr = psycho0.psycho_0(sf_index, self.ath_min[:, None, :], dtype)
+        else:
+            raise NotImplementedError(f"psy model {self.psy_model}")
+
+        sf_adj, scfsi = allocate.sf_transmission_pattern(sf_index)
+        sf_adj = jnp.where(sbmask[:, None, None, :], sf_adj, 0)
+
+        ft = allocate._frame_tables(cfg["tablenum"])
+        adb = cfg["adb_full"] - cfg["dab_ext"] * 8 - \
+            jnp.where(xpad_len > 0, xpad_len, 2) * 8
+
+        is_joint = cfg["mode"] == MODE_JOINT
+        stereo_sel, mode_ext, jsbound = allocate.js_mode_select(
+            smr, scfsi, ft, sblimit, nch, is_joint, adb, dtype)
+        mode_final = jnp.where(is_joint,
+                               jnp.where(stereo_sel, MODE_STEREO, MODE_JOINT),
+                               cfg["mode"])
+
+        bit_alloc, adb_left = allocate.a_bit_allocation(
+            smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype)
+
+        sbband = allocate.quantize(sf_adj, sb_sample, j_scale, j_sample,
+                                   bit_alloc, ft, sblimit, nch, jsbound, dtype)
+
+        out = {
+            "sf_index": sf_adj.astype(jnp.uint8),
+            "scfsi": scfsi.astype(jnp.uint8),
+            "bit_alloc": bit_alloc.astype(jnp.uint8),
+            "sbband": sbband.astype(jnp.uint32),
+            "mode": mode_final.astype(jnp.int32),
+            "mode_ext": mode_ext.astype(jnp.int32),
+            "jsbound": jsbound.astype(jnp.int32),
+            "adb_left": adb_left.astype(jnp.int32),
+            "smr": smr,
+        }
+        return {"hist": hist}, out
+
+    def encode_step(self, state, pcm, xpad_len=None):
+        S = self.cfg.n_streams
+        if xpad_len is None:
+            xpad_len = jnp.zeros((S,), jnp.int32)
+        return self._step(state, jnp.asarray(pcm), jnp.asarray(xpad_len))

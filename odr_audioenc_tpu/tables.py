@@ -58,9 +58,9 @@ S_FREQ_KHZ = np.array([[22.05, 24.0, 16.0, 0.0], [44.1, 48.0, 32.0, 0.0]])
 BITRATE_TABLE = np.array([
     [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
     [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
-])
-JSB_TABLE = np.array([4, 8, 12, 16])
-SFS_PER_SCFSI = np.array([3, 2, 1, 2])
+], np.int32)
+JSB_TABLE = np.array([4, 8, 12, 16], np.int32)
+SFS_PER_SCFSI = np.array([3, 2, 1, 2], np.int32)
 
 # scfsi transmission pattern (encode_new.c:296-301), indexed [class0][class1]
 SCFSI_PATTERN = np.array([

@@ -66,9 +66,10 @@ def main():
     tables["steps"] = extract_array(enc, "steps[18]", 18, np.int32)
     tables["steps2n"] = extract_array(enc, "steps2n[18]", 18, np.int32)
     tables["bits"] = extract_array(enc, "bits[18]", 18, np.int32)
-    # two `group` declarations exist; the live one follows the commented-out one
-    gi = enc.index("static int group[18]")
-    tables["group"] = extract_array(enc[gi:], "group[18]", 18, np.int32)
+    # two `group` declarations exist; strip comments first so we pick the
+    # live one, not the commented-out legacy table
+    enc_nc = re.sub(r"//[^\n]*", "", enc)
+    tables["group"] = extract_array(enc_nc, "static int group[18]", 18, np.int32)
     tables["table_sblimit"] = extract_array(enc, "table_sblimit[5]", 5, np.int32)
     line = extract_array(enc, "line[5][SBLIMIT]", 5 * 32, np.int32).reshape(5, 32)
     tables["line"] = line
