@@ -158,9 +158,73 @@ def js_mode_select(smr, scfsi, ft, sblimit, nch, is_joint, adb, dtype):
     return mode_is_stereo, mode_ext, jsbound
 
 
+def _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
+    """Rung tables for the sorted-greedy allocator.
+
+    A 'ladder' is one (ch, sb) allocation slot; above jsbound in stereo the
+    two channels share one ladder (in channel-0's slot) whose MNR uses
+    max(SMR_L, SMR_R) - exactly what the C greedy converges to since the
+    mirrored update keeps both channels' allocations equal and the argmin
+    always sees the worse channel first.
+
+    Returns dict with [B, 64] ladder data and [B, 64, 16] rung data."""
+    B = smr.shape[0]
+    sb = jnp.arange(SBLIMIT)[None, :]
+    below = sb < sblimit[:, None]
+    is_js = (sb >= jsbound[:, None]) & (nch[:, None] == 2)  # [B, 32]
+
+    smr_eff0 = jnp.where(is_js, jnp.maximum(smr[:, 0], smr[:, 1]), smr[:, 0])
+    smr_eff = jnp.stack([smr_eff0, smr[:, 1]], axis=1)  # [B,2,32]
+    active0 = below
+    active1 = below & (nch[:, None] == 2) & ~is_js
+    active = jnp.stack([active0, active1], axis=1)      # [B,2,32]
+
+    # tie-break index = the flat (ch*32+sb) the C argmin would report
+    tie0 = jnp.where(is_js & (smr[:, 1] > smr[:, 0]), 32 + sb, sb)
+    tie1 = jnp.broadcast_to(32 + sb, tie0.shape)
+    tie = jnp.stack([tie0, tie1], axis=1)               # [B,2,32]
+
+    gb = 12 * jnp.asarray(T.GROUP) * jnp.asarray(T.BITS)       # [18]
+    gb_rung = gb[ft["step_idx"]]                                # [B,32,16]
+    inc = gb_rung.at[:, :, 1:].add(-gb_rung[:, :, :-1])         # delta cost
+    snr = jnp.asarray(T.SNR, dtype)[ft["step_idx"]]             # [B,32,16]
+    # sort key for rung k = MNR at ba=k-1 (what maxmnr_new sees when picking)
+    mnr_prev = jnp.concatenate([jnp.full((B, SBLIMIT, 1), jnp.asarray(T.SNR[0], dtype)),
+                                snr[:, :, :-1]], axis=2)        # [B,32,16]
+    keys = mnr_prev[:, None] - smr_eff[..., None]               # [B,2,32,16]
+    # maxmnr_new's small=999999.0 start makes such entries unselectable
+    keys = jnp.where(keys < 999999.0, keys, jnp.inf)
+
+    sfs = jnp.asarray(T.SFS_PER_SCFSI)[scfsi]                   # [B,2,32]
+    first_extra0 = jnp.where(is_js, 4 + 6 * (sfs[:, 0] + sfs[:, 1]), 2 + 6 * sfs[:, 0])
+    first_extra = jnp.stack([first_extra0, 2 + 6 * sfs[:, 1]], axis=1)
+
+    kk = jnp.arange(16)
+    # rungs run up to ba == max_alloc == (1<<nbal)-1 (a_bit_allocation_new
+    # marks used=2 when ba reaches it, encode_new.c:1161)
+    rung_valid = (kk[None, None, :] >= 1) & (kk[None, None, :] <= ft["max_alloc"][:, :, None])
+    cost = inc[:, None].repeat(2, 1)                            # [B,2,32,16]
+    cost = cost.at[:, :, :, 1].add(first_extra)
+    valid = rung_valid[:, None] & active[..., None]             # [B,2,32,16]
+    return {
+        "keys": jnp.where(valid, keys, jnp.inf).reshape(B, 2 * SBLIMIT * 16),
+        "cost": jnp.where(valid, cost, 0).reshape(B, 2 * SBLIMIT * 16),
+        "tie": tie[..., None].repeat(16, -1).reshape(B, 2 * SBLIMIT * 16),
+        "valid": valid.reshape(B, 2 * SBLIMIT * 16),
+        "active": active, "is_js": is_js, "smr_eff": smr_eff,
+    }
+
+
 def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
-    """Greedy min-MNR allocation (a_bit_allocation_new, encode_new.c:1078-1187).
-    Returns (bit_alloc [B,2,32] int32, adb_left [B])."""
+    """Greedy min-MNR allocation (a_bit_allocation_new, encode_new.c:1078-1187),
+    computed as sorted-rung prefix + exact sequential tail.
+
+    The C loop picks the globally-minimum-MNR slot each iteration; that pick
+    sequence equals the rung list sorted by (MNR-before-rung, scan index), and
+    no slot can freeze before the first rung that exceeds the budget.  So the
+    longest affordable prefix of the sorted rungs is allocated wholesale and
+    only the short tail (freezes + cheap late fits) runs the faithful
+    while_loop.  Returns (bit_alloc [B,2,32] int32, adb_left [B])."""
     B = smr.shape[0]
     sb = jnp.arange(SBLIMIT)[None, :]
     below = sb < sblimit[:, None]
@@ -168,23 +232,56 @@ def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
     bbal = (ft["nbal"] * chmul * below).sum(axis=1)
     ad = adb - (bbal + BERR + BANC)
 
+    lt = _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype)
+    order = jnp.lexsort((lt["tie"], lt["keys"]), axis=-1)       # [B, 1024]
+    cost_sorted = jnp.take_along_axis(lt["cost"], order, -1)
+    cum = jnp.cumsum(cost_sorted, axis=-1)
+    afford = cum <= ad[:, None]
+    # allocated prefix: positions before the first unaffordable rung
+    first_fail = jnp.argmin(afford, axis=-1)  # first False (or 0 if all True)
+    all_true = afford.all(axis=-1)
+    nprefix = jnp.where(all_true, afford.shape[-1], first_fail)
+    taken_sorted = jnp.arange(afford.shape[-1])[None, :] < nprefix[:, None]
+    taken = jnp.zeros_like(taken_sorted).at[
+        jnp.arange(B)[:, None], order].set(taken_sorted)
+    taken = taken & lt["valid"]
+    spent0 = jnp.where(nprefix > 0,
+                       jnp.take_along_axis(cum, jnp.maximum(nprefix - 1, 0)[:, None], -1)[:, 0],
+                       0)
+
+    ba0 = taken.reshape(B, 2, SBLIMIT, 16).sum(axis=-1)         # rungs are consecutive
+    # mirror joint ladders into channel 1
+    ba0 = ba0.at[:, 1].set(jnp.where(lt["is_js"], ba0[:, 0], ba0[:, 1]))
+
+    return _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype)
+
+
+def _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype):
+    """Faithful continuation of the C greedy from a mid-allocation state."""
+    B = smr.shape[0]
+    sb = jnp.arange(SBLIMIT)[None, :]
+    below = sb < sblimit[:, None]
+
     snr_tab = jnp.asarray(T.SNR, dtype)
     group_tab = jnp.asarray(T.GROUP)
     bits_tab = jnp.asarray(T.BITS)
     sfs_tab = jnp.asarray(T.SFS_PER_SCFSI)
 
-    mnr0 = snr_tab[0] - smr  # [B, 2, 32]
+    ba0 = ba0.astype(jnp.int32)
+    si0 = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1),
+                              ba0[..., None], -1)[..., 0]
+    mnr0 = snr_tab[si0] - smr  # [B, 2, 32]
     ch_valid = jnp.arange(2)[None, :, None] < nch[:, None, None]
     valid = ch_valid & below[:, None, :]
-    used0 = jnp.where(valid, 0, 2).astype(jnp.int32)
+    used0 = jnp.where(~valid, 2,
+            jnp.where(ba0 >= ft["max_alloc"][:, None, :], 2,
+            jnp.where(ba0 > 0, 1, 0))).astype(jnp.int32)
 
     state = dict(
-        bit_alloc=jnp.zeros((B, 2, SBLIMIT), jnp.int32),
+        bit_alloc=ba0,
         used=used0,
         mnr=mnr0,
-        bspl=jnp.zeros((B,), jnp.int32),
-        bscf=jnp.zeros((B,), jnp.int32),
-        bsel=jnp.zeros((B,), jnp.int32),
+        spent=spent0.astype(jnp.int32),
         done=jnp.zeros((B,), jnp.bool_),
     )
 
@@ -230,7 +327,7 @@ def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
                           6 * sfs_tab[scfsi_min] + jnp.where(is_js, 6 * sfs_tab[scfsi_oth], 0),
                           0)
 
-        cost = st["bspl"] + st["bscf"] + st["bsel"] + seli + scale + increment
+        cost = st["spent"] + seli + scale + increment
         fits = ad >= cost
         alloc = act & fits
         freeze = act & ~fits
@@ -265,14 +362,12 @@ def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
 
         return dict(
             bit_alloc=bit_alloc, used=used, mnr=mnr,
-            bspl=st["bspl"] + jnp.where(alloc, increment, 0),
-            bscf=st["bscf"] + jnp.where(alloc, scale, 0),
-            bsel=st["bsel"] + jnp.where(alloc, seli, 0),
+            spent=st["spent"] + jnp.where(alloc, increment + scale + seli, 0),
             done=st["done"] | ~any_open,
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    adb_left = ad - (st["bspl"] + st["bscf"] + st["bsel"])
+    adb_left = ad - st["spent"]
     return st["bit_alloc"], adb_left
 
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables as T
-from . import allocate, polyphase, psycho0, psycho1
+from . import allocate, polyphase, psycho0, psycho1, psycho1_fast
 
 MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 _MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
@@ -99,15 +99,26 @@ def make_config(streams):
 class Mp2Encoder:
     """Stream-batched MP2 encoder.  One instance per (batch of) streams."""
 
-    def __init__(self, config: Mp2Config, psy_model=1, dtype=jnp.float64):
+    def __init__(self, config: Mp2Config, psy_model=1, dtype=jnp.float64,
+                 fast_psy=None):
+        """fast_psy: use the fully-vectorised psy-1 (psycho1_fast) instead of
+        the bit-exact masked-scan version; defaults to True for f32 (the TPU
+        throughput path) and False for f64 (the validation path)."""
         self.cfg = config
         self.psy_model = psy_model
         self.dtype = dtype
+        if fast_psy is None:
+            fast_psy = jnp.dtype(dtype) != jnp.float64
+        self.fast_psy = fast_psy
         S = config.n_streams
         rate_idx2 = np.repeat(config.psy_rate_idx, 2)
-        self.psy1_tabs = {k: jnp.asarray(v) for k, v in
-                          psycho1.make_psy1_tables(rate_idx2).items()} \
-            if psy_model == 1 else None
+        if psy_model == 1:
+            tabs = psycho1.make_psy1_tables(rate_idx2)
+            if fast_psy:
+                tabs.update(psycho1_fast.make_fast_tables(tabs))
+            self.psy1_tabs = {k: jnp.asarray(v) for k, v in tabs.items()}
+        else:
+            self.psy1_tabs = None
         if psy_model == 0:
             self.ath_min = jnp.asarray(np.stack([
                 T.psy0_ath_min(1000.0 * T.S_FREQ_KHZ[v][si])
@@ -147,10 +158,11 @@ class Mp2Encoder:
         if self.psy_model == 1:
             window = jnp.concatenate([state["hist"][..., 288:], frame[..., :832]],
                                      axis=-1).reshape(S * 2, 1024)
-            smr = psycho1.psycho_1(window, scale_max.reshape(S * 2, 32),
-                                   self.psy1_tabs,
-                                   jnp.repeat(cfg["low_rate"], 2),
-                                   dtype).reshape(S, 2, 32)
+            psy_fn = psycho1_fast.psycho_1_fast if self.fast_psy else psycho1.psycho_1
+            smr = psy_fn(window, scale_max.reshape(S * 2, 32),
+                         self.psy1_tabs,
+                         jnp.repeat(cfg["low_rate"], 2),
+                         dtype).reshape(S, 2, 32)
         elif self.psy_model == 0:
             smr = psycho0.psycho_0(sf_index, self.ath_min[:, None, :], dtype)
         else:

@@ -1,0 +1,48 @@
+"""f32 fast-psy TPU path: must produce valid MP2 frames with decisions close
+to the bit-exact f64 path (the fast path replaces the reference's 0.1dB-
+quantised add_db accumulation with exact linear-domain sums)."""
+import numpy as np
+import jax.numpy as jnp
+
+from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
+from odr_audioenc_tpu.host.mp2pack import Mp2Packer
+from odr_audioenc_tpu.host import mp2parse
+
+from signals import music_like, frames_of
+
+
+def test_fast_psy_close_and_valid():
+    nf = 12
+    frames = frames_of(music_like(nf))
+    cfgd = [{"rate": 48000, "bitrate": 128, "mode": "j"}]
+    cfg = make_config(cfgd)
+
+    enc64 = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float64)
+    enc32 = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32, fast_psy=True)
+    packer = Mp2Packer(cfg)
+    s64, s32 = enc64.init_state(), enc32.init_state()
+
+    smr_diffs = []
+    ba_same = 0
+    stream = b""
+    for fi in range(nf):
+        s64, o64 = enc64.encode_step(s64, frames[fi][None])
+        s32, o32 = enc32.encode_step(s32, frames[fi][None])
+        smr_diffs.append(np.abs(np.asarray(o64["smr"]) - np.asarray(o32["smr"])).max())
+        if np.array_equal(np.asarray(o64["bit_alloc"]), np.asarray(o32["bit_alloc"])):
+            ba_same += 1
+        out_np = {k: np.asarray(v) for k, v in o32.items()}
+        for chunk in packer.emit(out_np):
+            stream += chunk
+    for chunk in packer.finish():
+        stream += chunk
+
+    # SMR divergence should be within ~the add_db table quantisation regime
+    assert max(smr_diffs) < 3.0, f"fast-psy SMR diverged by {max(smr_diffs)} dB"
+    # most frames should allocate identically
+    assert ba_same >= nf * 0.5, f"only {ba_same}/{nf} frames allocate identically"
+
+    # every produced frame must be structurally valid with a correct CRC
+    parsed = [mp2parse.parse_frame(f) for f in mp2parse.split_frames(stream)]
+    assert len(parsed) == nf
+    assert all(p["crc_ok"] for p in parsed)
