@@ -1,0 +1,273 @@
+"""odr-audioenc-compatible CLI on the TPU-native batched engine.
+
+Single-stream mode mirrors the reference tool's options (odr-audioenc.cpp:
+1379-1642) and exit codes (0=EOF, 1=error, 2=silence, 3=encoder, 4=send,
+5=input fault).  The additional --streams mode runs a whole fleet of stations
+as one device batch (the framework's north-star operating point).
+
+Not yet available in this build: ALSA/JACK/VLC/GST live inputs (libraries not
+present), CURVE-encrypted ZMQ, DAB+ PAD insertion, SBR/PS AOTs.
+"""
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def make_argparser():
+    p = argparse.ArgumentParser(prog="odr-audioenc-tpu", add_help=True)
+    p.add_argument("-i", "--input", default="-")
+    p.add_argument("-f", "--format", choices=["wav", "raw"], default="wav")
+    p.add_argument("--fifo-silence", action="store_true")
+    p.add_argument("-a", "--dab", action="store_true", help="encode DAB MP2")
+    p.add_argument("--aaclc", action="store_true")
+    p.add_argument("--sbr", action="store_true")
+    p.add_argument("--ps", action="store_true")
+    p.add_argument("-A", "--no-afterburner", action="store_true")
+    p.add_argument("-b", "--bitrate", type=int, default=96)
+    p.add_argument("-B", "--bandwidth", type=int, default=0)
+    p.add_argument("-c", "--channels", type=int, default=2)
+    p.add_argument("-r", "--rate", type=int, default=48000)
+    p.add_argument("--dabmode", choices=["s", "d", "j", "m"], default="j")
+    p.add_argument("--dabpsy", type=int, default=1)
+    p.add_argument("-o", "--output", action="append", default=[])
+    p.add_argument("-e", "--edi", action="append", default=[])
+    p.add_argument("--fec", type=int, default=0)
+    p.add_argument("-T", "--timestamp-delay", type=int, default=None)
+    p.add_argument("-k", "--secret-key", default=None)
+    p.add_argument("-p", "--pad", type=int, default=128)
+    p.add_argument("-P", "--pad-socket", default="")
+    p.add_argument("-s", "--silence", type=int, default=0)
+    p.add_argument("-S", "--stats", default=None)
+    p.add_argument("-g", "--audio-gain", type=float, default=0.0)
+    p.add_argument("-D", "--drift-comp", action="store_true")
+    p.add_argument("-l", "--level", action="store_true")
+    p.add_argument("-R", "--restart-on-fault", action="store_true")
+    p.add_argument("--startup-check", default="")
+    p.add_argument("--decode", default=None)
+    p.add_argument("--identifier", default="")
+    p.add_argument("-V", "--verbose", action="count", default=0)
+    p.add_argument("--streams", default=None,
+                   help="JSON config for batched multi-stream operation")
+    return p
+
+
+def build_outputs(args, is_dabplus):
+    from .outputs import FileOutput, ZmqOutput, EdiOutput
+    from .outputs.edi_out import EdiConfig, EdiDestination
+    file_out, zmq_out, edi_out = None, None, None
+    for uri in args.output:
+        if uri.startswith(("tcp://", "ipc://", "pgm://", "epgm://")):
+            if zmq_out is None:
+                zmq_out = ZmqOutput(uri, args.secret_key)
+                zmq_out.set_encoder_type(is_dabplus)
+        else:
+            if file_out is not None:
+                raise SystemExit("You can't write to more than one file!")
+            file_out = FileOutput(uri)
+    if args.edi:
+        dests = []
+        for uri in args.edi:
+            proto, rest = uri.split("://", 1)
+            host, port = rest.rsplit(":", 1)
+            dests.append(EdiDestination(proto, host, int(port)))
+        conf = EdiConfig(enable_pft=args.fec > 0, fec=args.fec, destinations=dests)
+        edi_out = EdiOutput(conf, tist=args.timestamp_delay is not None,
+                            delay_ms=args.timestamp_delay or 0)
+    if not (file_out or zmq_out or edi_out):
+        raise SystemExit("No output defined")
+    return file_out, zmq_out, edi_out
+
+
+def send_frame(outs, buf, peak_l, peak_r, is_dabplus):
+    file_out, zmq_out, edi_out = outs
+    ok = True
+    if file_out:
+        file_out.update_audio_levels(peak_l, peak_r)
+        return file_out.write_frame(buf)
+    if zmq_out:
+        zmq_out.update_audio_levels(peak_l, peak_r)
+        ok &= zmq_out.write_frame(buf)
+    if edi_out:
+        edi_out.update_audio_levels(peak_l, peak_r)
+        if is_dabplus:
+            assert len(buf) % 5 == 0
+            bs = len(buf) // 5
+            for i in range(5):
+                ok &= edi_out.write_frame(buf[i * bs:(i + 1) * bs])
+        else:
+            ok &= edi_out.write_frame(buf)
+    return ok
+
+
+def run_single(args):
+    import jax.numpy as jnp
+    from .io.inputs import FileInput
+    from .host.sidecars import PadInterface, StatsPublisher, level
+
+    is_dabplus = not args.dab
+    channels = args.channels
+    if args.sbr or args.ps:
+        raise SystemExit("SBR/PS not yet implemented in this build (AAC-LC only)")
+
+    if is_dabplus:
+        if args.rate not in (32000, 48000):
+            raise SystemExit("Invalid sample rate. Possible values are: 32000, 48000.")
+        if not 8 <= args.bitrate <= 192 or args.bitrate % 8:
+            raise SystemExit("Invalid bitrate for DAB+ (8..192, multiple of 8)")
+        from .dabplus.model import DabPlusEncoder, DabPlusConfig
+        cfg = DabPlusConfig(args.rate, args.bitrate // 8, channels)
+        enc = DabPlusEncoder(cfg, 1)
+        frame_samples = cfg.num_aus * 960
+        frame_dur = frame_samples / args.rate
+    else:
+        if args.rate not in (24000, 48000):
+            raise SystemExit("Invalid sample rate. Possible values are: 24000, 48000.")
+        from .mp2.model import Mp2Encoder, make_config
+        from .host.mp2pack import Mp2Packer
+        mode = args.dabmode if channels == 2 else "m"
+        padlen = args.pad if args.pad_socket else 0
+        cfg = make_config([{"rate": args.rate, "bitrate": args.bitrate,
+                            "mode": mode, "pad_len": padlen}])
+        enc = Mp2Encoder(cfg, psy_model=args.dabpsy, dtype=jnp.float64)
+        packer = Mp2Packer(cfg)
+        frame_samples = 1152
+        frame_dur = 1152 / args.rate
+
+    outs = build_outputs(args, is_dabplus)
+    pad_intf = PadInterface()
+    padlen = args.pad if args.pad_socket else 0
+    if padlen:
+        pad_intf.open(args.pad_socket)
+        print("PAD socket opened", file=sys.stderr)
+    stats = StatsPublisher(args.stats) if args.stats else None
+
+    inp = FileInput(args.input, args.format == "raw", args.rate, channels,
+                    args.fifo_silence)
+    inp.prepare()
+    state = enc.init_state()
+    gain = 10.0 ** (args.audio_gain / 20.0)
+    frame_bytes = frame_samples * channels * 2
+    mp2_fifo = b""
+    silence_ms = 0
+    send_errors = 0
+    t_last = time.monotonic()
+
+    while True:
+        xpad = b""
+        calculated_padlen = 0
+        if padlen:
+            pad_data = pad_intf.request(padlen)
+            if len(pad_data) == padlen + 1:
+                calculated_padlen = pad_data[padlen]
+                if calculated_padlen < 2:
+                    raise SystemExit(1)
+                xpad = pad_data[:padlen]
+
+        if not inp.read_source(frame_bytes):
+            print("End of input reached", file=sys.stderr)
+            retval = 0
+            break
+        buf = bytes(inp.queue[:frame_bytes])
+        del inp.queue[:frame_bytes]
+
+        pcm = np.frombuffer(buf, np.int16).reshape(-1, channels).T
+        if gain != 1.0:
+            pcm = np.clip(pcm.astype(np.float64) * gain, -32768, 32767).astype(np.int16)
+        peak_l = int(pcm[0].max(initial=0))
+        peak_r = int(pcm[1].max(initial=0)) if channels == 2 else peak_l
+        if stats:
+            stats.update_audio_levels(peak_l, peak_r)
+
+        if args.silence and max(peak_l, peak_r) == 0:
+            silence_ms += frame_dur * 1000
+            if silence_ms > 1000 * args.silence:
+                print(f"Silence detected for {args.silence} seconds, aborting.",
+                      file=sys.stderr)
+                retval = 2
+                break
+        else:
+            silence_ms = 0
+
+        if is_dabplus:
+            pcm2 = pcm if channels == 2 else pcm
+            state, frames = enc.encode_superframes(state, pcm2[None])
+            out_bytes = frames[0]
+            ok = send_frame(outs, out_bytes, peak_l, peak_r, True)
+            if not ok:
+                send_errors += 1
+        else:
+            pcm2 = np.zeros((2, 1152), np.int16)
+            pcm2[:channels] = pcm
+            if channels == 1:
+                pcm2[1] = pcm[0]
+            xl = np.array([calculated_padlen], np.int32)
+            state, dev_out = enc.encode_step(state, pcm2[None], xl)
+            out_np = {k: np.asarray(v) for k, v in dev_out.items()}
+            xp = [(xpad, calculated_padlen)] if calculated_padlen else None
+            for chunk in packer.emit(out_np, xp):
+                mp2_fifo += chunk
+            fl = 3 * args.bitrate
+            while len(mp2_fifo) >= fl:
+                if not send_frame(outs, mp2_fifo[:fl], peak_l, peak_r, False):
+                    send_errors += 1
+                mp2_fifo = mp2_fifo[fl:]
+
+        if send_errors > 10:
+            print("Send failed ten times, aborting!", file=sys.stderr)
+            retval = 4
+            break
+
+        if args.level:
+            if channels == 2:
+                print(f"\rIn: [{level(0, peak_l):>6s}|{level(1, peak_r):<6s}]",
+                      end="", file=sys.stderr)
+            else:
+                print(f"\rIn: [{level(1, max(peak_l, peak_r)):<6s}]",
+                      end="", file=sys.stderr)
+        if stats:
+            stats.send_stats()
+
+        if args.drift_comp:
+            t_last += frame_dur
+            now = time.monotonic()
+            if t_last > now:
+                time.sleep(t_last - now)
+
+    print("", file=sys.stderr)
+    for o in outs:
+        if o:
+            o.close()
+    return retval
+
+
+def enc_emit(packer, out_np, xp):
+    return packer.emit(out_np, xp)
+
+
+def run_streams(args):
+    """Batched multi-stream mode: JSON config with a list of stations."""
+    from .fleet import run_fleet
+    with open(args.streams) as f:
+        conf = json.load(f)
+    return run_fleet(conf, verbose=args.verbose)
+
+
+def main(argv=None):
+    args = make_argparser().parse_args(argv)
+    if args.startup_check:
+        r = subprocess.run(args.startup_check, shell=True)
+        if r.returncode != 0:
+            print(f"Startup check failed, returned {r.returncode}", file=sys.stderr)
+            return 1
+        print("Startup check ok", file=sys.stderr)
+    if args.streams:
+        return run_streams(args)
+    return run_single(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -248,6 +248,9 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
     offw = 0.35 + 0.65 * jnp.clip((peak_db - line_db) / 18.0, 0.0, 2.5)  # [S,ch,NB]
 
     def try_offset(o):
+        o = jnp.asarray(o)
+        if o.ndim == 1:  # per-stream offsets in the fine pass
+            o = o[:, None, None]
         gains = jnp.clip(scf0 + jnp.floor(o * offw).astype(jnp.int32), -100, 155)
         # clamp gains into a window of the per-channel max so dpcm stays legal
         gmax = gains.max(-1, keepdims=True)

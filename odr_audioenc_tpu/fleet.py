@@ -1,0 +1,154 @@
+"""Batched multi-station runtime: the framework's north-star operating mode.
+
+Takes a JSON config listing stations and runs them as device batches - MP2
+streams with mixed bitrates/modes share one jitted encode step per sample
+rate; DAB+ streams are grouped by (rate, bitrate, channels).  Each station has
+its own input file and outputs/stats, mirroring what N reference processes
+would do.
+
+Config:
+{
+  "realtime": false,
+  "streams": [
+    {"codec": "mp2", "input": "a.wav", "format": "wav", "rate": 48000,
+     "bitrate": 128, "mode": "j", "output": "a.mp2", "stats": "/tmp/a.stats"},
+    {"codec": "dabplus", "input": "b.wav", "rate": 48000, "bitrate": 96,
+     "channels": 2, "output": "b.dabp"}
+  ]
+}
+"""
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+
+class _Station:
+    def __init__(self, conf):
+        from .io.inputs import FileInput
+        from .outputs import FileOutput
+        from .host.sidecars import StatsPublisher
+        self.conf = conf
+        self.codec = conf.get("codec", "dabplus")
+        self.rate = conf.get("rate", 48000)
+        self.bitrate = conf.get("bitrate", 96 if self.codec == "dabplus" else 128)
+        self.mode = conf.get("mode", "j")
+        self.channels = conf.get("channels", 1 if self.mode == "m" else 2)
+        if self.codec == "mp2" and self.channels == 1:
+            self.mode = "m"
+        self.input = FileInput(conf["input"], conf.get("format", "wav") == "raw",
+                               self.rate, self.channels,
+                               conf.get("fifo_silence", False))
+        self.input.prepare()
+        self.output = FileOutput(conf["output"]) if "output" in conf else None
+        self.stats = StatsPublisher(conf["stats"]) if conf.get("stats") else None
+        self.eof = False
+        self.mp2_fifo = b""
+        self.frames_done = 0
+
+    def read_frame(self, nsamples):
+        nbytes = nsamples * self.channels * 2
+        if not self.eof and not self.input.read_source(nbytes):
+            self.eof = True
+        if len(self.input.queue) < nbytes:
+            self.input.queue += bytes(nbytes - len(self.input.queue))
+        buf = bytes(self.input.queue[:nbytes])
+        del self.input.queue[:nbytes]
+        pcm = np.frombuffer(buf, np.int16).reshape(-1, self.channels).T
+        return pcm
+
+    def publish(self, peak_l, peak_r):
+        if self.stats:
+            self.stats.update_audio_levels(peak_l, peak_r)
+            self.stats.send_stats()
+
+
+def run_fleet(conf, verbose=0):
+    import jax.numpy as jnp
+    from .mp2.model import Mp2Encoder, make_config
+    from .host.mp2pack import Mp2Packer
+    from .dabplus.model import DabPlusEncoder, DabPlusConfig
+
+    stations = [_Station(s) for s in conf["streams"]]
+    realtime = conf.get("realtime", False)
+    groups = defaultdict(list)
+    for st in stations:
+        if st.codec == "mp2":
+            groups[("mp2", st.rate)].append(st)
+        else:
+            groups[("dabplus", st.rate, st.bitrate, st.channels)].append(st)
+
+    runners = []
+    for key, members in groups.items():
+        if key[0] == "mp2":
+            cfg = make_config([{"rate": m.rate, "bitrate": m.bitrate,
+                                "mode": m.mode} for m in members])
+            enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32)
+            packer = Mp2Packer(cfg)
+            runners.append(("mp2", members, enc, packer, enc.init_state()))
+        else:
+            _, rate, bitrate, ch = key
+            dcfg = DabPlusConfig(rate, bitrate // 8, ch)
+            enc = DabPlusEncoder(dcfg, n_streams=len(members))
+            runners.append(("dabplus", members, enc, None, enc.init_state()))
+
+    t0 = time.perf_counter()
+    audio_seconds = 0.0
+    while True:
+        all_eof = True
+        for kind, members, enc, packer, _ in runners:
+            if not all(m.eof for m in members):
+                all_eof = False
+        if all_eof:
+            break
+        for ri, (kind, members, enc, packer, state) in enumerate(runners):
+            if all(m.eof for m in members):
+                continue
+            if kind == "mp2":
+                pcm = np.zeros((len(members), 2, 1152), np.int16)
+                for i, m in enumerate(members):
+                    p = m.read_frame(1152)
+                    pcm[i, :m.channels] = p
+                    if m.channels == 1:
+                        pcm[i, 1] = p[0]
+                state, out = enc.encode_step(state, pcm)
+                out_np = {k: np.asarray(v) for k, v in out.items()}
+                chunks = packer.emit(out_np)
+                for i, m in enumerate(members):
+                    m.mp2_fifo += chunks[i]
+                    fl = 3 * m.bitrate
+                    while len(m.mp2_fifo) >= fl:
+                        if m.output:
+                            m.output.write_frame(m.mp2_fifo[:fl])
+                        m.mp2_fifo = m.mp2_fifo[fl:]
+                    peak = int(np.abs(pcm[i].astype(np.int32)).max())
+                    m.publish(peak, peak)
+                    m.frames_done += 1
+                audio_seconds += len(members) * 1152 / members[0].rate
+            else:
+                nau = enc.cfg.num_aus
+                pcm = np.zeros((len(members), enc.cfg.channels, nau * 960), np.int16)
+                for i, m in enumerate(members):
+                    pcm[i] = m.read_frame(nau * 960)[:enc.cfg.channels]
+                state, frames = enc.encode_superframes(state, pcm)
+                for i, m in enumerate(members):
+                    if m.output:
+                        m.output.write_frame(frames[i])
+                    peak = int(np.abs(pcm[i].astype(np.int32)).max())
+                    m.publish(peak, peak)
+                    m.frames_done += 1
+                audio_seconds += len(members) * nau * 960 / members[0].rate
+            runners[ri] = (kind, members, enc, packer, state)
+        if realtime:
+            time.sleep(0.001)
+
+    dt = time.perf_counter() - t0
+    for st in stations:
+        if st.output:
+            st.output.close()
+    if verbose or True:
+        print(f"fleet: {len(stations)} stations, {audio_seconds:.1f} audio-s "
+              f"in {dt:.2f} s wall = {audio_seconds / dt:.1f} streams*realtime",
+              file=sys.stderr)
+    return 0

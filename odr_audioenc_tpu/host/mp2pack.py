@@ -111,9 +111,12 @@ class Mp2Packer:
         if left % 8:
             bw.put(0, left % 8)
 
-        # X-PAD insert (toolame.c:515-524)
+        # X-PAD insert (toolame.c:515-524); xpad may be (full_buffer, used_len)
         dab_length = int(cfg.dab_length[i])
-        xpad_len = len(xpad) if xpad else 0
+        if isinstance(xpad, tuple):
+            xpad, xpad_len = xpad
+        else:
+            xpad_len = len(xpad) if xpad else 0
         if xpad_len:
             for k in range(dab_length - xpad_len, dab_length - 2):
                 bw.put(xpad[k], 8)
