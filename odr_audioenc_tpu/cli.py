@@ -110,8 +110,8 @@ def run_single(args):
 
     is_dabplus = not args.dab
     channels = args.channels
-    if args.sbr or args.ps:
-        raise SystemExit("SBR/PS not yet implemented in this build (AAC-LC only)")
+    if args.ps:
+        raise SystemExit("HE-AAC v2 (PS) not yet implemented in this build")
 
     if is_dabplus:
         if args.rate not in (32000, 48000):
@@ -119,7 +119,20 @@ def run_single(args):
         if not 8 <= args.bitrate <= 192 or args.bitrate % 8:
             raise SystemExit("Invalid bitrate for DAB+ (8..192, multiple of 8)")
         from .dabplus.model import DabPlusEncoder, DabPlusConfig
-        cfg = DabPlusConfig(args.rate, args.bitrate // 8, channels)
+        subch = args.bitrate // 8
+        # AOT auto-selection by bitrate (prepare_aac_encoder,
+        # odr-audioenc.cpp:249-261); PS falls back to LC for now
+        if args.aaclc:
+            aot = "lc"
+        elif args.sbr:
+            aot = "sbr"
+        elif channels == 1 and subch <= 8:
+            aot = "sbr"
+        else:
+            aot = "lc"
+        if aot == "sbr" and channels != 1:
+            aot = "lc"  # stereo SBR not yet implemented
+        cfg = DabPlusConfig(args.rate, subch, channels, aot=aot)
         enc = DabPlusEncoder(cfg, 1)
         frame_samples = cfg.num_aus * 960
         frame_dur = frame_samples / args.rate

@@ -20,10 +20,22 @@ class DabPlusConfig:
     sample_rate: int
     subch: int           # subchannel index = bitrate / 8000
     channels: int
+    aot: str = "lc"      # "lc" (AAC-LC) | "sbr" (HE-AAC)
 
     @property
     def num_aus(self):
+        if self.aot == "sbr":
+            return self.sample_rate // 16000
         return self.sample_rate // 8000
+
+    @property
+    def au_samples(self):
+        """full-rate samples per AU."""
+        return 1920 if self.aot == "sbr" else 960
+
+    @property
+    def core_rate(self):
+        return self.sample_rate // 2 if self.aot == "sbr" else self.sample_rate
 
     @property
     def bitrate(self):
@@ -35,10 +47,14 @@ class DabPlusEncoder:
     mixed batches can use several instances or padding)."""
 
     def __init__(self, cfg: DabPlusConfig, n_streams=1, dtype=jnp.float32):
+        from . import sbr as SBR
         self.cfg = cfg
         self.S = n_streams
         self.dtype = dtype
-        rate = cfg.sample_rate
+        rate = cfg.core_rate
+        self.is_sbr = cfg.aot == "sbr"
+        if self.is_sbr and cfg.channels != 1:
+            raise NotImplementedError("HE-AAC currently supports mono only")
         self.basis = jnp.asarray(AT.mdct_matrix(), dtype)
         self.band_m = jnp.asarray(AT.band_matrix(rate), dtype)
         self.bol = jnp.asarray(AT.band_of_line(rate))
@@ -48,23 +64,55 @@ class DabPlusEncoder:
         self.sfb_off = AT.sfb_offsets(rate)
         # bandwidth limit by per-channel bitrate (bandwidth.cpp analogue)
         br_per_ch = cfg.bitrate / cfg.channels
-        bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.18)
+        if self.is_sbr:
+            self.sbr_params = SBR.SbrParams(cfg.sample_rate)
+            bw_hz = self.sbr_params.k0 * self.sbr_params.band_hz  # crossover
+            # half-band decimation filter (63-tap windowed sinc)
+            taps = 63
+            n = np.arange(taps) - (taps - 1) / 2
+            h = np.sinc(n / 2.0) / 2.0 * np.hamming(taps)
+            self.ds_filter = jnp.asarray(h, dtype)
+        else:
+            self.sbr_params = None
+            bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.18)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
-        self.packer = SuperframePacker(cfg.subch, rate, cfg.channels)
+        self.packer = SuperframePacker(cfg.subch, cfg.sample_rate, cfg.channels,
+                                       sbr=self.is_sbr)
         payload = self.packer.payload_bits()
-        self.budget_au = payload // cfg.num_aus
+        self.sbr_bits_est = 200 if self.is_sbr else 0
+        self.budget_au = payload // cfg.num_aus - self.sbr_bits_est
         self._step = jax.jit(self._superframe_step)
 
     def init_state(self):
-        return {"prev": jnp.zeros((self.S, self.cfg.channels, AT.N), self.dtype)}
+        st = {"prev": jnp.zeros((self.S, self.cfg.channels, AT.N), self.dtype)}
+        if self.is_sbr:
+            st["ds_hist"] = jnp.zeros((self.S, self.cfg.channels, 62), self.dtype)
+        return st
 
     def _superframe_step(self, state, pcm):
-        """pcm: [S, ch, num_aus*960] int16 -> (state, outputs dict)."""
+        """pcm: [S, ch, num_aus*au_samples] int16 -> (state, outputs dict)."""
+        from . import sbr as SBR
         cfg = self.cfg
         S, ch, n = pcm.shape
         nau = cfg.num_aus
         x = pcm.astype(self.dtype)  # int16-scaled units
+
+        sbr_out = {}
+        if self.is_sbr:
+            # full-rate AUs for envelope measurement
+            aus_full = x.reshape(S, ch, nau, cfg.au_samples).transpose(2, 0, 1, 3)
+            env = SBR.envelope_energies(aus_full, self.sbr_params, self.dtype)
+            sbr_out["sbr_env"] = jnp.moveaxis(
+                SBR.quantize_envelope(env, self.dtype), 0, 1)  # [S, nau, ch?, n_lo]
+            # 2:1 decimation for the core (63-tap half-band, carried history)
+            xx = jnp.concatenate([state["ds_hist"], x], axis=-1)
+            # correlate: y[m] = sum_k h[k] * xx[2m + k]
+            idx = 2 * np.arange(n // 2)[:, None] + np.arange(63)[None, :]
+            y = (xx[..., idx] * self.ds_filter).sum(-1)
+            state = dict(state, ds_hist=xx[..., -62:])
+            x = y  # core-rate signal [S, ch, n//2]
+
         grans = x.reshape(S, ch, nau, AT.N).transpose(2, 0, 1, 3)  # [nau,S,ch,960]
         prevs = jnp.concatenate([state["prev"][None], grans[:-1]], axis=0)
 
@@ -84,20 +132,26 @@ class DabPlusEncoder:
 
         _, out = jax.lax.scan(au_body, jnp.zeros((S,), jnp.int32), (prevs, grans))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
-        return {"prev": grans[-1]}, out
+        out.update(sbr_out)
+        return dict(state, prev=grans[-1]), out
 
     def encode_superframes(self, state, pcm, add_rs=True):
         """pcm: [S, ch, num_aus*960] int16.
         Returns (state, [S] list of superframe bytes)."""
+        from . import sbr as SBR
         state, out = self._step(state, jnp.asarray(pcm))
         out = {k: np.asarray(v) for k, v in out.items()}
         frames = []
         for s in range(self.S):
             aus = []
             for a in range(self.cfg.num_aus):
-                aus.append(write_au(out["q"][s, a], out["gains"][s, a],
-                                    out["books"][s, a], self.max_sfb,
-                                    self.sfb_off, self.cfg.channels,
-                                    ms_used=out["ms_used"][s, a]))
+                bw = write_au(out["q"][s, a], out["gains"][s, a],
+                              out["books"][s, a], self.max_sfb,
+                              self.sfb_off, self.cfg.channels,
+                              ms_used=out["ms_used"][s, a])
+                if self.is_sbr:
+                    SBR.write_sbr_payload(bw, out["sbr_env"][s, a, 0],
+                                          noise_val=12, params=self.sbr_params)
+                aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return state, frames

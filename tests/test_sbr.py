@@ -1,0 +1,64 @@
+"""HE-AAC (SBR) loopback QA: structural validity and spectral-envelope parity
+with the reference encoder."""
+import numpy as np
+import pytest
+
+from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
+from odr_audioenc_tpu.fec.rs import superframe_check_rs
+
+from signals import music_like
+import fdk_ref
+
+
+def spectral_dist(a, b, n=4096):
+    fa = np.abs(np.fft.rfft(a[:len(a) // n * n].reshape(-1, n), axis=1)) ** 2
+    fb = np.abs(np.fft.rfft(b[:len(b) // n * n].reshape(-1, n), axis=1)) ** 2
+    m = min(len(fa), len(fb))
+    fa, fb = fa[:m], fb[:m]
+    edges = np.unique((2 ** np.linspace(3, np.log2(n // 2), 30)).astype(int))
+    ds = []
+    for i in range(len(edges) - 1):
+        ea = fa[:, edges[i]:edges[i + 1]].sum(1) + 1e3
+        eb = fb[:, edges[i]:edges[i + 1]].sum(1) + 1e3
+        ds.append(np.abs(10 * np.log10(ea / eb)).mean())
+    return float(np.mean(ds))
+
+
+def _encode_ours(sig, n_sf, subch=6):
+    cfg = DabPlusConfig(48000, subch, 1, aot="sbr")
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    dec = fdk_ref.FdkDecoder()
+    frames, pcm = [], []
+    for i in range(n_sf):
+        state, fr = enc.encode_superframes(state, sig[None, :, i * 5760:(i + 1) * 5760])
+        frames.append(fr[0])
+        pcm.append(dec.decode_superframe(fr[0][:110 * subch]))
+    return frames, np.concatenate(pcm, axis=1)
+
+
+def test_sbr_superframe_structure():
+    sig = music_like(15)[:1]
+    frames, pcm = _encode_ours(sig, 3)
+    for fr in frames:
+        assert len(fr) == 120 * 6
+        assert superframe_check_rs(np.frombuffer(fr, np.uint8))
+        core = fr[:110 * 6]
+        assert core[2] & 0x40 and core[2] & 0x20          # dac_rate, sbr
+        assert not core[2] & 0x10 and not core[2] & 0x08  # mono, no ps
+    # decoder produced 2x upsampled audio (960*2*3 per superframe)
+    assert pcm.shape == (1, 3 * 5760)
+
+
+def test_sbr_spectral_parity_vs_reference():
+    sig = music_like(30)[:1]
+    a = sig[0].astype(float)
+    _, pcm = _encode_ours(sig, 6)
+    ours = spectral_dist(a, pcm[0].astype(float))
+
+    renc = fdk_ref.FdkEncoder(channels=1, sample_rate=48000, subchannel_index=6,
+                              aot=136, afterburner=0)
+    rdec = fdk_ref.FdkDecoder()
+    rb = np.concatenate([rdec.decode_superframe(s) for s in renc.encode(sig)], axis=1)
+    theirs = spectral_dist(a, rb[0].astype(float))
+    assert ours < theirs + 3.0, f"spectral distance {ours:.1f} vs reference {theirs:.1f}"

@@ -199,7 +199,7 @@ class FdkDecoder:
                 raise RuntimeError(f"AU ordering check failed: {au_start}")
         if not self.configured:
             self._configure(dac_rate, sbr_flag, aac_channel_mode, ps_flag)
-        outlen = 960 * self.channels * (2 if sbr_flag else 1)
+        outlen = 2048 * self.channels * (2 if sbr_flag else 1)
         chunks = []
         for i in range(num_aus):
             au = data[au_start[i]:au_start[i + 1] - 2]  # strip AU CRC
@@ -216,5 +216,6 @@ class FdkDecoder:
                 outlen, 0)
             if r != 0:
                 raise RuntimeError(f"DecodeFrame failed {hex(r & 0xffffffff)} on AU {i}")
-            chunks.append(pcm.reshape(-1, self.channels).T)
+            nsamp = 960 * (2 if sbr_flag else 1) * self.channels
+            chunks.append(pcm[:nsamp].reshape(-1, self.channels).T)
         return np.concatenate(chunks, axis=1)

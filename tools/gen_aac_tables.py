@@ -88,6 +88,25 @@ def main():
             rom, f"FDKaacEnc_huff_ctab{b}[", shapes[b], np.int64).reshape(dims[b])
     tables["huff_codescf"] = extract(rom, "FDKaacEnc_huff_ctabscf", 121, np.int64)
 
+    # SBR envelope/noise huffman books (libSBRenc/src/cmondata.h)
+    cmon = strip_comments((REF / "libSBRenc/src/sbrenc_rom.cpp").read_text())
+    for name, n in [("v_Huff_envelopeLevelC10T", 121), ("v_Huff_envelopeLevelL10T", 121),
+                    ("v_Huff_envelopeLevelC10F", 121), ("v_Huff_envelopeLevelL10F", 121),
+                    ("v_Huff_envelopeLevelC11T", 63), ("v_Huff_envelopeLevelL11T", 63),
+                    ("v_Huff_envelopeLevelC11F", 63), ("v_Huff_envelopeLevelL11F", 63),
+                    ("v_Huff_NoiseLevelC11T", 63), ("v_Huff_NoiseLevelL11T", 63),
+                    ("bookSbrEnvBalanceC10T", 49), ("bookSbrEnvBalanceL10T", 49),
+                    ("bookSbrEnvBalanceC10F", 49), ("bookSbrEnvBalanceL10F", 49),
+                    ("bookSbrEnvBalanceC11T", 25), ("bookSbrEnvBalanceL11T", 25),
+                    ("bookSbrEnvBalanceC11F", 25), ("bookSbrEnvBalanceL11F", 25),
+                    ("bookSbrNoiseBalanceC11T", 25), ("bookSbrNoiseBalanceL11T", 25)]:
+        tables[f"sbr_{name}"] = extract(cmon, name, n, np.int64)
+    # start-band tables (libSBRdec/src/sbr_rom.cpp), DUAL rate rows
+    dec = strip_comments((REF / "libSBRdec/src/sbr_rom.cpp").read_text())
+    for rate in [16, 22, 24, 32, 40, 44, 48, 64]:
+        t = extract(dec, f"FDK_sbrDecoder_sbr_start_freq_{rate}[][16]", 32, np.int64)
+        tables[f"sbr_start_band_{rate}"] = t.reshape(2, 16)[0]
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes): {len(tables)} tables")
