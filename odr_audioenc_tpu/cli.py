@@ -110,8 +110,6 @@ def run_single(args):
 
     is_dabplus = not args.dab
     channels = args.channels
-    if args.ps:
-        raise SystemExit("HE-AAC v2 (PS) not yet implemented in this build")
 
     if is_dabplus:
         if args.rate not in (32000, 48000):
@@ -121,17 +119,21 @@ def run_single(args):
         from .dabplus.model import DabPlusEncoder, DabPlusConfig
         subch = args.bitrate // 8
         # AOT auto-selection by bitrate (prepare_aac_encoder,
-        # odr-audioenc.cpp:249-261); PS falls back to LC for now
+        # odr-audioenc.cpp:249-261)
         if args.aaclc:
             aot = "lc"
+        elif args.ps:
+            aot = "ps"
         elif args.sbr:
             aot = "sbr"
-        elif channels == 1 and subch <= 8:
+        elif channels == 2 and subch <= 6:
+            aot = "ps"
+        elif (channels == 1 and subch <= 8) or (channels == 2 and subch <= 10):
             aot = "sbr"
         else:
             aot = "lc"
-        if aot == "sbr" and channels != 1:
-            aot = "lc"  # stereo SBR not yet implemented
+        if aot == "sbr" and channels == 2:
+            aot = "lc"  # stereo (non-PS) SBR not yet implemented
         cfg = DabPlusConfig(args.rate, subch, channels, aot=aot)
         enc = DabPlusEncoder(cfg, 1)
         frame_samples = cfg.num_aus * 960

@@ -20,22 +20,24 @@ class DabPlusConfig:
     sample_rate: int
     subch: int           # subchannel index = bitrate / 8000
     channels: int
-    aot: str = "lc"      # "lc" (AAC-LC) | "sbr" (HE-AAC)
+    aot: str = "lc"      # "lc" (AAC-LC) | "sbr" (HE-AAC) | "ps" (HE-AAC v2)
+
+    @property
+    def has_sbr(self):
+        return self.aot in ("sbr", "ps")
 
     @property
     def num_aus(self):
-        if self.aot == "sbr":
-            return self.sample_rate // 16000
-        return self.sample_rate // 8000
+        return self.sample_rate // (16000 if self.has_sbr else 8000)
 
     @property
     def au_samples(self):
         """full-rate samples per AU."""
-        return 1920 if self.aot == "sbr" else 960
+        return 1920 if self.has_sbr else 960
 
     @property
     def core_rate(self):
-        return self.sample_rate // 2 if self.aot == "sbr" else self.sample_rate
+        return self.sample_rate // 2 if self.has_sbr else self.sample_rate
 
     @property
     def bitrate(self):
@@ -52,9 +54,13 @@ class DabPlusEncoder:
         self.S = n_streams
         self.dtype = dtype
         rate = cfg.core_rate
-        self.is_sbr = cfg.aot == "sbr"
-        if self.is_sbr and cfg.channels != 1:
-            raise NotImplementedError("HE-AAC currently supports mono only")
+        self.is_sbr = cfg.aot in ("sbr", "ps")
+        self.is_ps = cfg.aot == "ps"
+        if cfg.aot == "sbr" and cfg.channels != 1:
+            raise NotImplementedError("HE-AAC (non-PS) currently supports mono only")
+        if self.is_ps and cfg.channels != 2:
+            raise ValueError("HE-AAC v2 (PS) requires stereo input")
+        self.core_channels = 1 if self.is_sbr else cfg.channels
         self.basis = jnp.asarray(AT.mdct_matrix(), dtype)
         self.band_m = jnp.asarray(AT.band_matrix(rate), dtype)
         self.bol = jnp.asarray(AT.band_of_line(rate))
@@ -77,17 +83,18 @@ class DabPlusEncoder:
             bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.18)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
-        self.packer = SuperframePacker(cfg.subch, cfg.sample_rate, cfg.channels,
-                                       sbr=self.is_sbr)
+        self.packer = SuperframePacker(cfg.subch, cfg.sample_rate,
+                                       self.core_channels, sbr=self.is_sbr,
+                                       ps=self.is_ps)
         payload = self.packer.payload_bits()
         self.sbr_bits_est = 200 if self.is_sbr else 0
         self.budget_au = payload // cfg.num_aus - self.sbr_bits_est
         self._step = jax.jit(self._superframe_step)
 
     def init_state(self):
-        st = {"prev": jnp.zeros((self.S, self.cfg.channels, AT.N), self.dtype)}
+        st = {"prev": jnp.zeros((self.S, self.core_channels, AT.N), self.dtype)}
         if self.is_sbr:
-            st["ds_hist"] = jnp.zeros((self.S, self.cfg.channels, 62), self.dtype)
+            st["ds_hist"] = jnp.zeros((self.S, self.core_channels, 62), self.dtype)
         return st
 
     def _superframe_step(self, state, pcm):
@@ -99,6 +106,19 @@ class DabPlusEncoder:
         x = pcm.astype(self.dtype)  # int16-scaled units
 
         sbr_out = {}
+        if self.is_ps:
+            # parametric stereo: IID from L/R, then mono downmix feeds SBR+core
+            aus_lr = x.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
+            iid = SBR.iid_parameters(aus_lr[:, :, 0], aus_lr[:, :, 1],
+                                     cfg.sample_rate, self.dtype)
+            sbr_out["ps_iid"] = jnp.moveaxis(iid, 0, 1)  # [S, nau, 10]
+            # energy-compensated mono downmix (correlation loss correction)
+            m = 0.5 * (x[:, 0:1] + x[:, 1:2])
+            e_lr = (x[:, 0:1] ** 2 + x[:, 1:2] ** 2).sum(-1, keepdims=True)
+            e_m = (m ** 2).sum(-1, keepdims=True)
+            g = jnp.sqrt(0.5 * e_lr / jnp.maximum(e_m, 1e-3))
+            x = m * jnp.clip(g, 1.0, 2.0)
+            ch = 1
         if self.is_sbr:
             # full-rate AUs for envelope measurement
             aus_full = x.reshape(S, ch, nau, cfg.au_samples).transpose(2, 0, 1, 3)
@@ -118,7 +138,7 @@ class DabPlusEncoder:
 
         max_sfb = jnp.full((S,), self.max_sfb, jnp.int32)
         budget = jnp.full((S,), self.budget_au, jnp.int32)
-        nch = jnp.full((S,), ch, jnp.int32)
+        nch = jnp.full((S,), self.core_channels, jnp.int32)
 
         def au_body(carry, xs):
             leftover = carry
@@ -147,11 +167,13 @@ class DabPlusEncoder:
             for a in range(self.cfg.num_aus):
                 bw = write_au(out["q"][s, a], out["gains"][s, a],
                               out["books"][s, a], self.max_sfb,
-                              self.sfb_off, self.cfg.channels,
+                              self.sfb_off, self.core_channels,
                               ms_used=out["ms_used"][s, a])
                 if self.is_sbr:
-                    SBR.write_sbr_payload(bw, out["sbr_env"][s, a, 0],
-                                          noise_val=12, params=self.sbr_params)
+                    SBR.write_sbr_payload(
+                        bw, out["sbr_env"][s, a, 0], noise_val=12,
+                        params=self.sbr_params,
+                        ps_iid=out["ps_iid"][s, a] if self.is_ps else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return state, frames

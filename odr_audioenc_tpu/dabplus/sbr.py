@@ -115,11 +115,68 @@ def quantize_envelope(energies, dtype=jnp.float32):
     return jnp.clip(jnp.round(v), 0, 127).astype(jnp.int32)
 
 
-def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True):
+# ---- Parametric Stereo (HE-AAC v2) ----
+IID_CODE_F = _npz["ps_iidDeltaFreqCoarse_Code"]
+IID_LEN_F = _npz["ps_iidDeltaFreqCoarse_Length"]
+# coarse IID quantisation grid in dB (ps_encode.cpp iidQuant_fx)
+IID_GRID_DB = np.array([-25, -18, -14, -10, -7, -4, -2, 0, 2, 4, 7, 10, 14, 18, 25],
+                       np.float32)
+PS_NBANDS = 10
+# approximate Hz borders of the 10 coarse parameter bands at 48 kHz output
+# (hybrid group borders iidGroupBordersLoRes, ps_encode.cpp:123-127, taking
+# every 2nd of the 20-band grid; QMF band = fs/128)
+PS_BORDER_QMF = np.array([0.0, 1 / 3, 2 / 3, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0,
+                          14.0, 64.0])
+
+
+def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
+    """Per-AU coarse IID indices [-7..7] from L/R band energies.
+    au_l/au_r: [..., n] full-rate float samples."""
+    n = au_l.shape[-1]
+    win = jnp.asarray(np.hanning(n), dtype)
+    pl = jnp.abs(jnp.fft.rfft(au_l * win)) ** 2
+    pr = jnp.abs(jnp.fft.rfft(au_r * win)) ** 2
+    freqs = np.arange(pl.shape[-1]) * fs_out / n
+    borders = PS_BORDER_QMF * fs_out / 128.0
+    idxs = []
+    grid = jnp.asarray(IID_GRID_DB, dtype)
+    for b in range(PS_NBANDS):
+        m = jnp.asarray((freqs >= borders[b]) & (freqs < borders[b + 1]), dtype)
+        el = (pl * m).sum(-1) + 1e-6
+        er = (pr * m).sum(-1) + 1e-6
+        iid_db = 10.0 * jnp.log10(el / er)
+        q = jnp.argmin(jnp.abs(iid_db[..., None] - grid), axis=-1) - 7
+        idxs.append(q.astype(jnp.int32))
+    return jnp.stack(idxs, axis=-1)  # [..., 10]
+
+
+def _write_ps_data(bw, iid_idx):
+    """ps_data with IID-only coarse parameters (ps_bitenc.cpp:555-623).
+    Returns bit count."""
+    n0 = len(bw.buf) * 8 + bw.nbits
+    bw.put(1, 1)   # enable_ps_header
+    bw.put(1, 1)   # enable_iid
+    bw.put(0, 3)   # iid_mode 0 = coarse, 10 bands
+    bw.put(0, 1)   # enable_icc
+    bw.put(0, 1)   # enable_ext
+    bw.put(0, 1)   # frame_class FIX
+    bw.put(1, 2)   # num_env_idx -> 1 envelope
+    bw.put(0, 1)   # delta_iid[0] = FREQ
+    last = 0
+    for b in range(PS_NBANDS):
+        d = int(iid_idx[b]) - last
+        last = int(iid_idx[b])
+        d = max(-14, min(14, d))
+        bw.put(int(IID_CODE_F[d + 14]), int(IID_LEN_F[d + 14]))
+    return len(bw.buf) * 8 + bw.nbits - n0
+
+
+def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True,
+                      ps_iid=None):
     """Append a FIL element with EXT_SBR_DATA carrying one SCE SBR frame.
 
     bw_target: the AU BitWriter (after the SCE).  env_vals: [n_lo] ints;
-    noise_val: int 0..31."""
+    noise_val: int 0..31; ps_iid: [10] coarse IID indices or None."""
     sbr = BitWriter()
     sbr.put(1 if write_header else 0, 1)  # bs_header_flag
     if write_header:
@@ -154,7 +211,27 @@ def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True)
     # noise floor (one band, one env)
     sbr.put(int(noise_val), 5)
     sbr.put(0, 1)                         # bs_add_harmonic_flag
-    sbr.put(0, 1)                         # bs_extended_data
+    if ps_iid is None:
+        sbr.put(0, 1)                     # bs_extended_data
+    else:
+        # extended data with PS (encodeExtendedData, bit_sbr.cpp:~500)
+        ps = BitWriter()
+        ps_bits = 2 + _write_ps_data(ps, ps_iid)  # + extension id
+        ext_size = (ps_bits + 7) // 8
+        sbr.put(1, 1)                     # bs_extended_data
+        if ext_size < 15:
+            sbr.put(ext_size, 4)
+        else:
+            sbr.put(15, 4)
+            sbr.put(ext_size - 15, 8)
+        sbr.put(2, 2)                     # bs_extension_id = EXTENSION_ID_PS
+        for byte in ps.buf:
+            sbr.put(byte, 8)
+        if ps.nbits:
+            sbr.put(ps.acc, ps.nbits)
+        pad = ext_size * 8 - ps_bits
+        if pad:
+            sbr.put(0, pad)
 
     payload_bits = len(sbr.buf) * 8 + sbr.nbits
     # FIL element: id(3) + cnt(4)[+esc(8)] then extension_payload(cnt bytes)

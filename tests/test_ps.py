@@ -1,0 +1,38 @@
+"""HE-AAC v2 (Parametric Stereo) loopback QA."""
+import numpy as np
+
+from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
+from odr_audioenc_tpu.fec.rs import superframe_check_rs
+
+from signals import music_like
+import fdk_ref
+
+
+def test_ps_loopback_stereo_image():
+    sig = music_like(20)
+    sig = sig.copy()
+    sig[1] = (sig[1].astype(np.int32) * 2 // 5).astype(np.int16)  # pan right down
+    cfg = DabPlusConfig(48000, 4, 2, aot="ps")  # 32 kbps stereo
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    dec = fdk_ref.FdkDecoder()
+    out, frames = [], []
+    for i in range(3):
+        state, fr = enc.encode_superframes(state, sig[None, :, i * 5760:(i + 1) * 5760])
+        frames.append(fr[0])
+        out.append(dec.decode_superframe(fr[0][:110 * 4]))
+    b = np.concatenate(out, axis=1)
+    assert b.shape[0] == 2
+    for fr in frames:
+        assert len(fr) == 120 * 4
+        assert superframe_check_rs(np.frombuffer(fr, np.uint8))
+        core = fr[:110 * 4]
+        assert core[2] & 0x20 and core[2] & 0x08      # sbr + ps flags
+        assert not core[2] & 0x10                     # mono core
+    # stereo image: L/R level ratio reproduced within ~2 dB
+    in_ratio = sig[0].astype(float).std() / sig[1].astype(float).std()
+    out_ratio = b[0].astype(float).std() / b[1].astype(float).std()
+    assert abs(20 * np.log10(out_ratio / in_ratio)) < 3.0
+    # overall level within 3 dB
+    lvl = 20 * np.log10(b.astype(float).std() / sig.astype(float).std())
+    assert abs(lvl) < 3.0

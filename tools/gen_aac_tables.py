@@ -101,6 +101,16 @@ def main():
                     ("bookSbrEnvBalanceC11F", 25), ("bookSbrEnvBalanceL11F", 25),
                     ("bookSbrNoiseBalanceC11T", 25), ("bookSbrNoiseBalanceL11T", 25)]:
         tables[f"sbr_{name}"] = extract(cmon, name, n, np.int64)
+    # PS IID huffman tables (libSBRenc/src/ps_bitenc.cpp)
+    psb = strip_comments((REF / "libSBRenc/src/ps_bitenc.cpp").read_text())
+    for name, n in [("iidDeltaFreqCoarse_Length", 29), ("iidDeltaFreqCoarse_Code", 29),
+                    ("iidDeltaFreqFine_Length", 61), ("iidDeltaFreqFine_Code", 61),
+                    ("iidDeltaTimeCoarse_Length", 29), ("iidDeltaTimeCoarse_Code", 29),
+                    ("iidDeltaTimeFine_Length", 61), ("iidDeltaTimeFine_Code", 61),
+                    ("iccDeltaFreq_Length", 15), ("iccDeltaFreq_Code", 15),
+                    ("iccDeltaTime_Length", 15), ("iccDeltaTime_Code", 15)]:
+        tables[f"ps_{name}"] = extract(psb, name, n, np.int64)
+
     # start-band tables (libSBRdec/src/sbr_rom.cpp), DUAL rate rows
     dec = strip_comments((REF / "libSBRdec/src/sbr_rom.cpp").read_text())
     for rate in [16, 22, 24, 32, 40, 44, 48, 64]:
