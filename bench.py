@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
-"""Benchmark: concurrent 48kHz stereo streams x realtime factor per chip.
+"""Benchmark: concurrent streams x realtime factor per chip on the BASELINE
+headline configs - MP2@128k (stereo 48kHz) and HE-AAC@64k (mono 48kHz).
 
-Runs the f32 device encode step (MP2@128k joint stereo, psy model 1) on the
-available accelerator and reports S * (audio seconds per step / wall seconds
-per step).  Baseline reference point: the north-star target of 1024 streams at
-10x realtime per chip (BASELINE.json) = 10240.
+Measures the jitted device encode step for each codec at BENCH_STREAMS batch
+size and reports the mixed-fleet throughput (harmonic mean = equal numbers of
+both stream types).  Baseline reference point: the north-star target of 1024
+streams at 10x realtime per chip (BASELINE.json) = 10240.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,42 +17,55 @@ import time
 import numpy as np
 
 
+def _throughput(step, state, args, audio_s, streams, iters, donate=True):
+    import jax
+    state, out = step(state, *args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = step(state, *args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return streams * audio_s / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
+    from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
 
     S = int(os.environ.get("BENCH_STREAMS", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+
+    # --- MP2 @ 128k stereo ---
     cfg = make_config([{"rate": 48000, "bitrate": 128, "mode": "j"}] * S)
     enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32)
-    state = enc.init_state()
-    rng = np.random.default_rng(0)
     pcm = jnp.asarray(rng.integers(-16000, 16000, (S, 2, 1152)), jnp.int16)
     xpad = jnp.zeros((S,), jnp.int32)
-
     step = jax.jit(enc._encode_step, donate_argnums=(0,))
-    # warmup / compile
-    state, out = step(state, pcm, xpad)
-    jax.block_until_ready(out["sbband"])
+    t_mp2 = _throughput(step, enc.init_state(), (pcm, xpad), 1152 / 48000.0, S, iters)
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, out = step(state, pcm, xpad)
-    jax.block_until_ready(out["sbband"])
-    dt = (time.perf_counter() - t0) / iters
+    # --- HE-AAC @ 64k mono (SBR) ---
+    dcfg = DabPlusConfig(48000, 8, 1, aot="sbr")
+    denc = DabPlusEncoder(dcfg, n_streams=S)
+    dpcm = jnp.asarray(rng.integers(-16000, 16000, (S, 1, 5760)), jnp.int16)
+    dstep = jax.jit(denc._superframe_step, donate_argnums=(0,))
+    t_aac = _throughput(dstep, denc.init_state(), (dpcm,), 5760 / 48000.0, S, iters)
 
-    audio_s = 1152.0 / 48000.0
-    value = S * audio_s / dt
-    baseline = 1024 * 10  # north-star: 1024 streams x 10x realtime per chip
+    mixed = 2.0 / (1.0 / t_mp2 + 1.0 / t_aac)
+    baseline = 1024 * 10
     print(json.dumps({
-        "metric": f"concurrent 48kHz stereo MP2@128k streams x realtime per chip ({platform}, S={S})",
-        "value": round(value, 1),
+        "metric": f"concurrent 48kHz streams x realtime per chip, mixed MP2@128k"
+                  f"+HE-AAC@64k fleet ({platform}, S={S}; mp2={t_mp2:.0f}, "
+                  f"heaac={t_aac:.0f})",
+        "value": round(mixed, 1),
         "unit": "streams*x",
-        "vs_baseline": round(value / baseline, 4),
+        "vs_baseline": round(mixed / baseline, 4),
     }))
 
 

@@ -160,6 +160,26 @@ def run_single(args):
         print("PAD socket opened", file=sys.stderr)
     stats = StatsPublisher(args.stats) if args.stats else None
 
+    decoder = None
+    wav_out = None
+    if args.decode:
+        if not is_dabplus:
+            raise SystemExit("--decode is only supported for DAB+")
+        from .host.dabplus_parse import validate_superframe
+        # loopback decode via the reference-decoder oracle when available;
+        # structural validation (firecode/AU-CRC/RS) always runs
+        try:
+            import importlib.util as ilu
+            from pathlib import Path
+            spec = ilu.spec_from_file_location(
+                "fdk_ref", Path(__file__).resolve().parent.parent / "tools" / "fdk_ref.py")
+            fdk_ref = ilu.module_from_spec(spec)
+            spec.loader.exec_module(fdk_ref)
+            decoder = fdk_ref.FdkDecoder()
+        except Exception as e:  # noqa: BLE001
+            print(f"--decode: full decode unavailable ({e}); structural "
+                  f"validation only", file=sys.stderr)
+
     inp = FileInput(args.input, args.format == "raw", args.rate, channels,
                     args.fifo_silence)
     inp.prepare()
@@ -211,6 +231,22 @@ def run_single(args):
             pcm2 = pcm if channels == 2 else pcm
             state, frames = enc.encode_superframes(state, pcm2[None])
             out_bytes = frames[0]
+            if args.decode:
+                from .host.dabplus_parse import validate_superframe
+                ok_sf, _ = validate_superframe(out_bytes)
+                if not ok_sf:
+                    raise SystemExit("Decoding failed: superframe invalid")
+                if decoder is not None:
+                    dec_pcm = decoder.decode_superframe(
+                        out_bytes[: len(out_bytes) // 120 * 110])
+                    if wav_out is None:
+                        from .io.wav import WavWriter
+                        wav_out = WavWriter(args.decode, decoder.sample_rate,
+                                            decoder.channels)
+                    inter = np.empty(dec_pcm.size, np.int16)
+                    for c in range(dec_pcm.shape[0]):
+                        inter[c::dec_pcm.shape[0]] = dec_pcm[c]
+                    wav_out.write(inter.tobytes())
             ok = send_frame(outs, out_bytes, peak_l, peak_r, True)
             if not ok:
                 send_errors += 1
@@ -253,6 +289,8 @@ def run_single(args):
                 time.sleep(t_last - now)
 
     print("", file=sys.stderr)
+    if wav_out is not None:
+        wav_out.close()
     for o in outs:
         if o:
             o.close()

@@ -305,12 +305,14 @@ class EdiOutput(Output):
 
     VERSION = "odr-audioenc-tpu-0.1.0"
 
-    def __init__(self, conf: EdiConfig, tist=False, delay_ms=0, tai_offset=37):
+    def __init__(self, conf: EdiConfig, tist=False, delay_ms=0, tai_offset=None):
         super().__init__()
+        from ..host.clocktai import ClockTAI
         self.conf = conf
         self.sender = None
         self.tist = tist
         self.delay_ms = delay_ms
+        self._clock_tai = ClockTAI() if tai_offset is None else None
         self.tai_offset = tai_offset
         self.tag_dsti = TagDSTI()
         self.timestamp = 0
@@ -336,7 +338,9 @@ class EdiOutput(Output):
             self.timestamp -= 0xFA0000
             self.edi_time += 1
             self.num_seconds_sent += 1
-        self.tag_dsti.set_edi_time(self.edi_time, self.tai_offset)
+        offset = self.tai_offset if self.tai_offset is not None \
+            else self._clock_tai.get_offset()
+        self.tag_dsti.set_edi_time(self.edi_time, offset)
         self.tag_dsti.tsta = self.timestamp & 0xFFFFFF
 
         tags = [tag_star_ptr(b"DSTI"), self.tag_dsti.assemble(),
