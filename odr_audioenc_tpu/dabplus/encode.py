@@ -86,60 +86,68 @@ def _pair_len(tab, i, j):
     return jnp.asarray(tab)[i, j]
 
 
+_LEN_QUAD = np.stack([AT.HUFF_LEN[b].reshape(-1) for b in (1, 2, 3, 4)])  # [4,81]
+_LEN_PAIR56 = np.stack([AT.HUFF_LEN[5].reshape(-1), AT.HUFF_LEN[6].reshape(-1)])
+_LEN_PAIR78 = np.stack([AT.HUFF_LEN[7].reshape(-1), AT.HUFF_LEN[8].reshape(-1)])
+_LEN_PAIR910 = np.stack([AT.HUFF_LEN[9].reshape(-1), AT.HUFF_LEN[10].reshape(-1)])
+_LEN_PAIR11 = AT.HUFF_LEN[11].reshape(-1)
+
+
 def spectral_bits_and_books(q, band_of_line, max_sfb, dtype):
     """Per-band best codebook + bit cost (bit_cnt.cpp re-expression).
 
     q: [..., 960] int32.  Returns (books [..., NB], bits [..., NB]).
+    Tables are flattened so every codebook costs a single small gather; band
+    reductions ride the MXU as f32 matmuls.
     """
     aq = jnp.abs(q)
-    # band maxima
-    oh = jax.nn.one_hot(band_of_line, NB, dtype=jnp.int32)  # [960, NB]
-    maxq = jnp.max(aq[..., None] * oh, axis=-2)  # [..., NB]
+    oh = jax.nn.one_hot(band_of_line, NB, dtype=dtype)  # [960, NB]
+    maxq = jnp.max(aq[..., None] * oh.astype(jnp.int32), axis=-2)  # [..., NB]
 
     shp = q.shape[:-1]
     q4 = q.reshape(*shp, 240, 4)
     aq4 = aq.reshape(*shp, 240, 4)
     q2 = q.reshape(*shp, 480, 2)
     aq2 = aq.reshape(*shp, 480, 2)
-    band_q4 = band_of_line[::4]  # [240]
-    band_q2 = band_of_line[::2]  # [480]
-    oh4 = jax.nn.one_hot(band_q4, NB, dtype=jnp.int32)
-    oh2 = jax.nn.one_hot(band_q2, NB, dtype=jnp.int32)
+    oh4 = oh[::4]  # [240, NB] (quads never straddle bands: widths %4 == 0)
+    oh2 = oh[::2]
 
     def bsum4(x):
-        return x @ oh4
+        return jnp.round(x.astype(dtype) @ oh4).astype(jnp.int32)
 
     def bsum2(x):
-        return x @ oh2
+        return jnp.round(x.astype(dtype) @ oh2).astype(jnp.int32)
 
     signs4 = jnp.sum(aq4 != 0, axis=-1)
     signs2 = jnp.sum(aq2 != 0, axis=-1)
 
-    def quad_len(tab, vals):
-        t = jnp.asarray(tab)
-        return t[vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]]
-
     c1 = jnp.clip(q4 + 1, 0, 2)
-    l1 = quad_len(AT.HUFF_LEN[1], c1)
-    l2 = quad_len(AT.HUFF_LEN[2], c1)
+    i1 = ((c1[..., 0] * 3 + c1[..., 1]) * 3 + c1[..., 2]) * 3 + c1[..., 3]
+    l1 = jnp.asarray(_LEN_QUAD[0])[i1]
+    l2 = jnp.asarray(_LEN_QUAD[1])[i1]
     c3 = jnp.clip(aq4, 0, 2)
-    l3 = quad_len(AT.HUFF_LEN[3], c3) + signs4
-    l4 = quad_len(AT.HUFF_LEN[4], c3) + signs4
+    i3 = ((c3[..., 0] * 3 + c3[..., 1]) * 3 + c3[..., 2]) * 3 + c3[..., 3]
+    l3 = jnp.asarray(_LEN_QUAD[2])[i3] + signs4
+    l4 = jnp.asarray(_LEN_QUAD[3])[i3] + signs4
 
     c5 = jnp.clip(q2 + 4, 0, 8)
-    l5 = jnp.asarray(AT.HUFF_LEN[5])[c5[..., 0], c5[..., 1]]
-    l6 = jnp.asarray(AT.HUFF_LEN[6])[c5[..., 0], c5[..., 1]]
+    i5 = c5[..., 0] * 9 + c5[..., 1]
+    l5 = jnp.asarray(_LEN_PAIR56[0])[i5]
+    l6 = jnp.asarray(_LEN_PAIR56[1])[i5]
     c7 = jnp.clip(aq2, 0, 7)
-    l7 = jnp.asarray(AT.HUFF_LEN[7])[c7[..., 0], c7[..., 1]] + signs2
-    l8 = jnp.asarray(AT.HUFF_LEN[8])[c7[..., 0], c7[..., 1]] + signs2
+    i7 = c7[..., 0] * 8 + c7[..., 1]
+    l7 = jnp.asarray(_LEN_PAIR78[0])[i7] + signs2
+    l8 = jnp.asarray(_LEN_PAIR78[1])[i7] + signs2
     c9 = jnp.clip(aq2, 0, 12)
-    l9 = jnp.asarray(AT.HUFF_LEN[9])[c9[..., 0], c9[..., 1]] + signs2
-    l10 = jnp.asarray(AT.HUFF_LEN[10])[c9[..., 0], c9[..., 1]] + signs2
+    i9 = c9[..., 0] * 13 + c9[..., 1]
+    l9 = jnp.asarray(_LEN_PAIR910[0])[i9] + signs2
+    l10 = jnp.asarray(_LEN_PAIR910[1])[i9] + signs2
     c11 = jnp.clip(aq2, 0, 16)
+    i11 = c11[..., 0] * 17 + c11[..., 1]
     esc = jnp.where(aq2 >= 16,
                     2 * jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(aq2, 16).astype(dtype))), 4).astype(jnp.int32) - 3,
                     0).sum(-1)
-    l11 = jnp.asarray(AT.HUFF_LEN[11])[c11[..., 0], c11[..., 1]] + signs2 + esc
+    l11 = jnp.asarray(_LEN_PAIR11)[i11] + signs2 + esc
 
     bits = jnp.stack([
         jnp.zeros_like(bsum4(l1)),            # book 0
@@ -247,6 +255,10 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
     peak_db = line_db.max(-1, keepdims=True)
     offw = 0.35 + 0.65 * jnp.clip((peak_db - line_db) / 18.0, 0.0, 2.5)  # [S,ch,NB]
 
+    # |x|^(3/4) computed once; the rate loop only rescales by 2^(-3/16 gain)
+    mag075 = jnp.power(jnp.abs(spec), 0.75)
+    neg = spec < 0
+
     def try_offset(o):
         o = jnp.asarray(o)
         if o.ndim == 1:  # per-stream offsets in the fine pass
@@ -255,7 +267,9 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
         # clamp gains into a window of the per-channel max so dpcm stays legal
         gmax = gains.max(-1, keepdims=True)
         gains = jnp.clip(gains, gmax - 60, gmax)
-        q = quantize_spec(spec, gains, bol, dtype)
+        scale = jnp.exp2(-0.1875 * gains.astype(dtype))[..., bol]
+        q = jnp.clip(jnp.floor(mag075 * scale + 0.4054).astype(jnp.int32), 0, 8191)
+        q = jnp.where(neg, -q, q)
         books, bbits = spectral_bits_and_books(q, bol, max_sfb[:, None], dtype)
         side = side_info_bits(books, gains, max_sfb[:, None], dtype)
         ch_bits = (bbits.sum(-1) + side)  # [S, ch]
