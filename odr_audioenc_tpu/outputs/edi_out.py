@@ -203,12 +203,86 @@ class PFT:
 
 @dataclass
 class EdiDestination:
-    proto: str = "udp"         # udp | tcp
+    proto: str = "udp"         # udp | tcp | tcp-server
     dest_addr: str = "127.0.0.1"
     dest_port: int = 12000
     source_addr: str = ""
     source_port: int = 0
     ttl: int = 10
+    max_frames_queued: int = 1024
+    preroll_buffers: int = 0
+
+
+class TcpDispatcher:
+    """TCP server fan-out with per-connection queues and optional preroll
+    (contrib/Socket.h TCPDataDispatcher + ThreadsafeQueue equivalent)."""
+
+    def __init__(self, port, max_queued=1024, preroll=0):
+        import queue as _q
+        self._q = _q
+        self.max_queued = max_queued
+        self.preroll = preroll
+        self.preroll_buf = []
+        self.conns = []
+        self.lock = threading.Lock()
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("0.0.0.0", port))
+        self.port = self.srv.getsockname()[1]
+        self.srv.listen(8)
+        self.running = True
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self):
+        while self.running:
+            try:
+                conn, _ = self.srv.accept()
+            except OSError:
+                return
+            q = self._q.Queue(self.max_queued)
+            with self.lock:
+                for b in self.preroll_buf[-self.preroll:] if self.preroll else []:
+                    q.put_nowait(b)
+                self.conns.append((conn, q))
+            threading.Thread(target=self._send_loop, args=(conn, q),
+                             daemon=True).start()
+
+    def _send_loop(self, conn, q):
+        while self.running:
+            data = q.get()
+            if data is None:
+                break
+            try:
+                conn.sendall(data)
+            except OSError:
+                break
+        try:
+            conn.close()
+        except OSError:
+            pass
+        with self.lock:
+            self.conns = [(c, cq) for c, cq in self.conns if c is not conn]
+
+    def write(self, data):
+        with self.lock:
+            if self.preroll:
+                self.preroll_buf.append(data)
+                self.preroll_buf = self.preroll_buf[-self.preroll:]
+            for _, q in self.conns:
+                try:
+                    q.put_nowait(data)
+                except self._q.Full:
+                    pass
+
+    def close(self):
+        self.running = False
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+        with self.lock:
+            for _, q in self.conns:
+                q.put(None)
 
 
 @dataclass
@@ -244,6 +318,10 @@ class EdiSender:
             elif d.proto == "tcp":
                 s = socket.create_connection((d.dest_addr, d.dest_port), timeout=5.0)
                 self.socks.append(("tcp", s, None))
+            elif d.proto == "tcp-server":
+                disp = TcpDispatcher(d.dest_port, d.max_frames_queued,
+                                     d.preroll_buffers)
+                self.socks.append(("tcp-server", disp, None))
             else:
                 raise ValueError(f"unknown EDI proto {d.proto}")
         self._queue = []
@@ -270,6 +348,8 @@ class EdiSender:
             try:
                 if proto == "udp":
                     s.sendto(data, addr)
+                elif proto == "tcp-server":
+                    s.write(data)
                 else:
                     s.sendall(data)
             except OSError:
