@@ -22,8 +22,8 @@ import numpy as np
 from . import tables as AT
 
 NB = AT.MAX_SFB_LONG  # 49 padded bands
-N_OFFSETS = 16        # rate-loop global-gain offsets tried in parallel
-SF_OFF_RANGE = 4      # offset step
+N_OFFSETS = 10        # rate-loop coarse offsets (scan)
+SF_OFF_RANGE = 6      # coarse step = fine-pass width
 
 
 def mdct_frame(prev, cur, basis, dtype):
@@ -121,33 +121,41 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype):
     signs4 = jnp.sum(aq4 != 0, axis=-1)
     signs2 = jnp.sum(aq2 != 0, axis=-1)
 
+    def lut(table_rows, idx, n):
+        """table lookup as one-hot matmul (gathers are slow on TPU; a
+        [.., n] one-hot x [n, k] table rides the MXU)."""
+        ohx = jax.nn.one_hot(idx, n, dtype=dtype)
+        t = jnp.asarray(np.stack(table_rows, -1), dtype)  # [n, k]
+        out = ohx @ t
+        return [jnp.round(out[..., j]).astype(jnp.int32)
+                for j in range(len(table_rows))]
+
     c1 = jnp.clip(q4 + 1, 0, 2)
     i1 = ((c1[..., 0] * 3 + c1[..., 1]) * 3 + c1[..., 2]) * 3 + c1[..., 3]
-    l1 = jnp.asarray(_LEN_QUAD[0])[i1]
-    l2 = jnp.asarray(_LEN_QUAD[1])[i1]
     c3 = jnp.clip(aq4, 0, 2)
     i3 = ((c3[..., 0] * 3 + c3[..., 1]) * 3 + c3[..., 2]) * 3 + c3[..., 3]
-    l3 = jnp.asarray(_LEN_QUAD[2])[i3] + signs4
-    l4 = jnp.asarray(_LEN_QUAD[3])[i3] + signs4
+    l1, l2 = lut([_LEN_QUAD[0], _LEN_QUAD[1]], i1, 81)
+    l3, l4 = lut([_LEN_QUAD[2], _LEN_QUAD[3]], i3, 81)
+    l3, l4 = l3 + signs4, l4 + signs4
 
     c5 = jnp.clip(q2 + 4, 0, 8)
     i5 = c5[..., 0] * 9 + c5[..., 1]
-    l5 = jnp.asarray(_LEN_PAIR56[0])[i5]
-    l6 = jnp.asarray(_LEN_PAIR56[1])[i5]
+    l5, l6 = lut([_LEN_PAIR56[0], _LEN_PAIR56[1]], i5, 81)
     c7 = jnp.clip(aq2, 0, 7)
     i7 = c7[..., 0] * 8 + c7[..., 1]
-    l7 = jnp.asarray(_LEN_PAIR78[0])[i7] + signs2
-    l8 = jnp.asarray(_LEN_PAIR78[1])[i7] + signs2
+    l7, l8 = lut([_LEN_PAIR78[0], _LEN_PAIR78[1]], i7, 64)
+    l7, l8 = l7 + signs2, l8 + signs2
     c9 = jnp.clip(aq2, 0, 12)
     i9 = c9[..., 0] * 13 + c9[..., 1]
-    l9 = jnp.asarray(_LEN_PAIR910[0])[i9] + signs2
-    l10 = jnp.asarray(_LEN_PAIR910[1])[i9] + signs2
+    l9, l10 = lut([_LEN_PAIR910[0], _LEN_PAIR910[1]], i9, 169)
+    l9, l10 = l9 + signs2, l10 + signs2
     c11 = jnp.clip(aq2, 0, 16)
     i11 = c11[..., 0] * 17 + c11[..., 1]
     esc = jnp.where(aq2 >= 16,
                     2 * jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(aq2, 16).astype(dtype))), 4).astype(jnp.int32) - 3,
                     0).sum(-1)
-    l11 = jnp.asarray(_LEN_PAIR11)[i11] + signs2 + esc
+    (l11,) = lut([_LEN_PAIR11], i11, 289)
+    l11 = l11 + signs2 + esc
 
     bits = jnp.stack([
         jnp.zeros_like(bsum4(l1)),            # book 0

@@ -288,10 +288,43 @@ def _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype):
     inf = jnp.asarray(jnp.inf, dtype)
     flat_si = ft["step_idx"]  # [B, 32, 16]
 
+    sb_idx = jnp.arange(SBLIMIT)[None, :]
+    is_js_e = (sb_idx >= jsbound[:, None])[:, None, :] & (nch[:, None, None] == 2)
+    sfs_all = sfs_tab[scfsi]  # [B,2,32]
+    first_extra_e = jnp.where(is_js_e, 4 + 6 * (sfs_all + sfs_all[:, ::-1]),
+                              2 + 6 * sfs_all)
+
+    def _entry_costs(st):
+        """Next-rung full cost for every open entry (vectorised).
+
+        In the C loop a visit either allocates or freezes; freezing never
+        consumes bits and the remaining budget is non-increasing, so every
+        open entry whose next cost exceeds the remaining budget NOW is
+        guaranteed to freeze when visited - we can freeze them all at once
+        without changing the pick sequence of the remaining entries."""
+        ba = st["bit_alloc"]
+        si_next = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1),
+                                      jnp.clip(ba + 1, 0, 15)[..., None], -1)[..., 0]
+        si_cur = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1),
+                                     ba[..., None], -1)[..., 0]
+        inc = 12 * group_tab[si_next] * bits_tab[si_next]
+        inc = inc - jnp.where(st["used"] == 1,
+                              12 * group_tab[si_cur] * bits_tab[si_cur], 0)
+        return inc + jnp.where(st["used"] == 0, first_extra_e, 0)
+
     def cond(st):
         return ~jnp.all(st["done"])
 
     def body(st):
+        # pre-freeze everything that can no longer fit (see _entry_costs)
+        costs = _entry_costs(st)
+        open0 = (st["used"] != 2) & (st["mnr"] < 999999.0)
+        freeze_now = open0 & (st["spent"][:, None, None] + costs > ad[:, None, None])
+        # mirror freezes across joint-stereo pairs (used stays in sync)
+        freeze_js = freeze_now | (freeze_now[:, ::-1] & is_js_e)
+        used_pf = jnp.where(freeze_js, 2, st["used"])
+        st = dict(st, used=used_pf)
+
         # maxmnr_new starts from small=999999.0, so entries at/above that are
         # never selectable (encode_new.c:1061-1077)
         open_ = (st["used"] != 2) & (st["mnr"] < 999999.0)
