@@ -134,7 +134,8 @@ def run_single(args):
             aot = "lc"
         if aot == "sbr" and channels == 2:
             aot = "lc"  # stereo (non-PS) SBR not yet implemented
-        cfg = DabPlusConfig(args.rate, subch, channels, aot=aot)
+        cfg = DabPlusConfig(args.rate, subch, channels, aot=aot,
+                            pad_len=args.pad if args.pad_socket else 0)
         enc = DabPlusEncoder(cfg, 1)
         frame_samples = cfg.num_aus * 960
         frame_dur = frame_samples / args.rate
@@ -191,16 +192,31 @@ def run_single(args):
     send_errors = 0
     t_last = time.monotonic()
 
+    num_aus = getattr(enc, "cfg", None).num_aus if is_dabplus else 1
+
     while True:
         xpad = b""
         calculated_padlen = 0
+        dab_pads = []
         if padlen:
-            pad_data = pad_intf.request(padlen)
-            if len(pad_data) == padlen + 1:
-                calculated_padlen = pad_data[padlen]
-                if calculated_padlen < 2:
-                    raise SystemExit(1)
-                xpad = pad_data[:padlen]
+            # the reference requests PAD once per encoder call:
+            # num_aus times per DAB+ superframe, once per MP2 frame
+            for _ in range(num_aus):
+                pad_data = pad_intf.request(padlen)
+                if len(pad_data) == padlen + 1:
+                    calculated_padlen = pad_data[padlen]
+                    if calculated_padlen < 2:
+                        raise SystemExit(1)
+                    xpad = pad_data[:padlen]
+                    # AAC: skip PAD if only zero F-PAD (TS 102 563 5.4.3)
+                    if is_dabplus and calculated_padlen == 2 and \
+                            xpad[padlen - 2] == 0 and xpad[padlen - 1] == 0:
+                        calculated_padlen = 0
+                    dab_pads.append(xpad[padlen - calculated_padlen:]
+                                    if calculated_padlen else b"")
+                else:
+                    dab_pads.append(b"")
+                    calculated_padlen = 0
 
         if not inp.read_source(frame_bytes):
             print("End of input reached", file=sys.stderr)
@@ -229,7 +245,8 @@ def run_single(args):
 
         if is_dabplus:
             pcm2 = pcm if channels == 2 else pcm
-            state, frames = enc.encode_superframes(state, pcm2[None])
+            pads = [dab_pads] if padlen and any(dab_pads) else None
+            state, frames = enc.encode_superframes(state, pcm2[None], pads=pads)
             out_bytes = frames[0]
             if args.decode:
                 from .host.dabplus_parse import validate_superframe

@@ -21,6 +21,7 @@ class DabPlusConfig:
     subch: int           # subchannel index = bitrate / 8000
     channels: int
     aot: str = "lc"      # "lc" (AAC-LC) | "sbr" (HE-AAC) | "ps" (HE-AAC v2)
+    pad_len: int = 0     # max X-PAD bytes per AU (DSE ancillary data)
 
     @property
     def has_sbr(self):
@@ -88,7 +89,8 @@ class DabPlusEncoder:
                                        ps=self.is_ps)
         payload = self.packer.payload_bits()
         self.sbr_bits_est = 200 if self.is_sbr else 0
-        self.budget_au = payload // cfg.num_aus - self.sbr_bits_est
+        pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
+        self.budget_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
         self._step = jax.jit(self._superframe_step)
 
     def init_state(self):
@@ -155,8 +157,10 @@ class DabPlusEncoder:
         out.update(sbr_out)
         return dict(state, prev=grans[-1]), out
 
-    def encode_superframes(self, state, pcm, add_rs=True):
-        """pcm: [S, ch, num_aus*960] int16.
+    def encode_superframes(self, state, pcm, add_rs=True, pads=None):
+        """pcm: [S, ch, num_aus*au_samples] int16; pads: optional
+        [S][num_aus] list of X-PAD byte strings (sent as DSE ancillary data,
+        like IN_ANCILLRY_DATA in the reference).
         Returns (state, [S] list of superframe bytes)."""
         from . import sbr as SBR
         state, out = self._step(state, jnp.asarray(pcm))
@@ -169,6 +173,9 @@ class DabPlusEncoder:
                               out["books"][s, a], self.max_sfb,
                               self.sfb_off, self.core_channels,
                               ms_used=out["ms_used"][s, a])
+                if pads is not None and pads[s][a]:
+                    from ..host.aacpack import write_dse
+                    write_dse(bw, pads[s][a])
                 if self.is_sbr:
                     SBR.write_sbr_payload(
                         bw, out["sbr_env"][s, a, 0], noise_val=12,

@@ -140,6 +140,25 @@ def write_au(q, gains, books, max_sfb, sfb_off, n_ch, ms_used=None):
     return bw
 
 
+def write_dse(bw, payload, instance_tag=0):
+    """data_stream_element carrying ancillary data (X-PAD), as
+    FDKaacEnc_writeDataStreamElement (bitenc.cpp:725-800) emits it."""
+    data = bytes(payload)
+    while data:
+        cnt = min(510, len(data))
+        bw.put(4, 3)  # ID_DSE
+        bw.put(instance_tag, 4)
+        bw.put(0, 1)  # data_byte_align_flag
+        if cnt >= 255:
+            bw.put(255, 8)
+            bw.put(cnt - 255, 8)
+        else:
+            bw.put(cnt, 8)
+        for b in data[:cnt]:
+            bw.put(b, 8)
+        data = data[cnt:]
+
+
 def _fill_raw_data_block(bw, payload_bits):
     """dabWrite_FillRawDataBlock (tpenc_dab.cpp:312-360), bit-faithful."""
     while payload_bits >= 7:
