@@ -33,6 +33,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the axon remote compile is slow (minutes);
+    # repeated bench runs should reuse executables
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".scratch", "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
     from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig

@@ -92,14 +92,20 @@ def _frame_tables(tablenum):
     nbal = jnp.where(line < 0, 0, jnp.asarray(T.NBAL)[line_c])
     step_idx = jnp.asarray(T.STEP_INDEX)[line_c]  # [B, 32, 16]
     max_alloc = (1 << nbal) - 1  # [B, 32]; 0 above sblimit
-    return {"line": line, "nbal": nbal, "step_idx": step_idx, "max_alloc": max_alloc}
+    # config-static per-step lookups (avoid runtime gathers on TPU)
+    snr_steps = jnp.asarray(T.SNR)[step_idx]                      # [B,32,16]
+    gb_steps = (12 * jnp.asarray(T.GROUP) * jnp.asarray(T.BITS))[step_idx]
+    return {"line": line, "nbal": nbal, "step_idx": step_idx,
+            "max_alloc": max_alloc, "snr_steps": snr_steps,
+            "gb_steps": gb_steps}
 
 
-def _ba_for_mnr(smr, step_idx, max_alloc, sblimit, nch, jsbound, dtype):
+def _ba_for_mnr(smr, step_idx, max_alloc, sblimit, nch, jsbound, dtype,
+                snr_steps=None):
     """First allocation index reaching min_mnr=0 per (ch, sb), with the
     joint-stereo continuation = max over channels above jsbound
     (bits_for_nonoise_new, encode_new.c:668-703)."""
-    snr = jnp.asarray(T.SNR, dtype)[step_idx]  # [B, 32, 16]
+    snr = snr_steps.astype(dtype)  # [B, 32, 16]
     ok = (snr[:, None] - smr[..., None]) >= 0.0  # [B, 2, 32, 16]
     ok = ok & (jnp.arange(16) < (max_alloc[:, None, :, None] - 1))
     # first index where ok, else max_alloc-1
@@ -122,7 +128,8 @@ def bits_for_nonoise(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
     bbal = (ft["nbal"] * chmul * below).sum(axis=1)
     req = BANC + bbal + BERR
 
-    ba = _ba_for_mnr(smr, ft["step_idx"], ft["max_alloc"], sblimit, nch, jsbound, dtype)
+    ba = _ba_for_mnr(smr, ft["step_idx"], ft["max_alloc"], sblimit, nch,
+                     jsbound, dtype, snr_steps=ft["snr_steps"])
     si = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1), ba[..., None], -1)[..., 0]
     smp = 12 * jnp.asarray(T.GROUP)[si] * jnp.asarray(T.BITS)[si]  # [B,2,32]
     sfs = jnp.asarray(T.SFS_PER_SCFSI)[scfsi]  # [B,2,32]
@@ -184,10 +191,9 @@ def _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
     tie1 = jnp.broadcast_to(32 + sb, tie0.shape)
     tie = jnp.stack([tie0, tie1], axis=1)               # [B,2,32]
 
-    gb = 12 * jnp.asarray(T.GROUP) * jnp.asarray(T.BITS)       # [18]
-    gb_rung = gb[ft["step_idx"]]                                # [B,32,16]
+    gb_rung = ft["gb_steps"]                                    # [B,32,16]
     inc = gb_rung.at[:, :, 1:].add(-gb_rung[:, :, :-1])         # delta cost
-    snr = jnp.asarray(T.SNR, dtype)[ft["step_idx"]]             # [B,32,16]
+    snr = ft["snr_steps"].astype(dtype)                         # [B,32,16]
     # sort key for rung k = MNR at ba=k-1 (what maxmnr_new sees when picking)
     mnr_prev = jnp.concatenate([jnp.full((B, SBLIMIT, 1), jnp.asarray(T.SNR[0], dtype)),
                                 snr[:, :, :-1]], axis=2)        # [B,32,16]

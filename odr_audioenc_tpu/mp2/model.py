@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables as T
-from . import allocate, polyphase, psycho0, psycho1, psycho1_fast
+from . import allocate, polyphase, psycho0, psycho1, psycho1_fast, psycho3
 
 MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 _MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
@@ -119,6 +119,13 @@ class Mp2Encoder:
             self.psy1_tabs = {k: jnp.asarray(v) for k, v in tabs.items()}
         else:
             self.psy1_tabs = None
+        if psy_model == 3:
+            rates = {1000.0 * T.S_FREQ_KHZ[v][si]
+                     for v, si in zip(config.version, config.sfreq_idx)}
+            if len(rates) != 1:
+                raise ValueError("psy model 3 requires a homogeneous sample "
+                                 "rate per encoder batch")
+            self.psy3_tabs = psycho3.make_psy3_tables(rates.pop())
         if psy_model == 0:
             self.ath_min = jnp.asarray(np.stack([
                 T.psy0_ath_min(1000.0 * T.S_FREQ_KHZ[v][si])
@@ -165,6 +172,13 @@ class Mp2Encoder:
                          dtype).reshape(S, 2, 32)
         elif self.psy_model == 0:
             smr = psycho0.psycho_0(sf_index, self.ath_min[:, None, :], dtype)
+        elif self.psy_model == 3:
+            window = jnp.concatenate([state["hist"][..., 288:], frame[..., :832]],
+                                     axis=-1).reshape(S * 2, 1024)
+            smr = psycho3.psycho_3(window, scale_max.reshape(S * 2, 32),
+                                   self.psy3_tabs,
+                                   jnp.repeat(cfg["low_rate"], 2),
+                                   dtype).reshape(S, 2, 32)
         else:
             raise NotImplementedError(f"psy model {self.psy_model}")
 

@@ -352,10 +352,10 @@ def psycho_1(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float64):
                                          psy_tabs["cbound"], psy_tabs["n_cband"],
                                          dbtab, dtype)
 
-    hear_of_bin = jnp.take_along_axis(psy_tabs["hear_line"], psy_tabs["map"], 1)
+    hear_of_bin = psy_tabs["hear_of_bin"]
     power, tone_m = subsample(power, tone_m, hear_of_bin)
     power, noise_m = subsample(power, noise_m, hear_of_bin)
-    bark_of_bin = jnp.take_along_axis(psy_tabs["bark_line"], psy_tabs["map"], 1)
+    bark_of_bin = psy_tabs["bark_of_bin"]
     power, tone_m = bark_merge(power, tone_m, bark_of_bin, dtype)
 
     ltg_x = threshold(power, tone_m, noise_m, psy_tabs["map"],
@@ -380,6 +380,8 @@ def make_psy1_tables(rate_indices, dtype=np.float64):
         "cbound": np.zeros((B, 27), np.int32),
         "n_cband": np.zeros((B,), np.int32),
     }
+    out["hear_of_bin"] = np.zeros((B, NBINS), dtype)
+    out["bark_of_bin"] = np.zeros((B, NBINS), dtype)
     for b, ri in enumerate(rate_indices):
         ri = int(ri)
         sub_size = int(T.FREQ_ENTRIES[ri]) + 1
@@ -391,4 +393,6 @@ def make_psy1_tables(rate_indices, dtype=np.float64):
         nc = int(T.CRIT_BAND_COUNT[ri])
         out["n_cband"][b] = nc
         out["cbound"][b, :nc] = T.CBOUND[ri][:nc]
+        out["hear_of_bin"][b] = out["hear_line"][b][out["map"][b]]
+        out["bark_of_bin"][b] = out["bark_line"][b][out["map"][b]]
     return out

@@ -230,10 +230,10 @@ def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32):
     power, noise_m = noise_fast(power, tone_typ, energy,
                                 psy_tabs["band_matrix"], psy_tabs["centre_base"],
                                 psy_tabs["centre_span"], dtype)
-    hear_of_bin = jnp.take_along_axis(psy_tabs["hear_line"], psy_tabs["map"], 1)
+    hear_of_bin = psy_tabs["hear_of_bin"]
     power, tone_m = subsample(power, tone_m, hear_of_bin)
     power, noise_m = subsample(power, noise_m, hear_of_bin)
-    bark_of_bin = jnp.take_along_axis(psy_tabs["bark_line"], psy_tabs["map"], 1)
+    bark_of_bin = psy_tabs["bark_of_bin"]
     power, tone_m = merge_fast(power, tone_m, bark_of_bin, dtype)
 
     ltg = threshold_fast(power, tone_m, noise_m, psy_tabs["map"],

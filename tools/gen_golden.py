@@ -34,6 +34,8 @@ CONFIGS = {
     "music_24s_160_j_psy1": ("music", 30, 24000, 160, "j", 1, 0),
     "music_48s_128_d_psy1": ("music", 30, 48000, 128, "d", 1, 0),
     "music_48s_128_j_psy0": ("music", 30, 48000, 128, "j", 0, 0),
+    "music_48s_128_j_psy3": ("music", 30, 48000, 128, "j", 3, 0),
+    "tones_48s_192_s_psy3": ("tones", 20, 48000, 192, "s", 3, 0),
     "music_48s_128_j_psy1_xpad16": ("music", 30, 48000, 128, "j", 1, 16),
 }
 
