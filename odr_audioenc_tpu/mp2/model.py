@@ -116,7 +116,11 @@ class Mp2Encoder:
             tabs = psycho1.make_psy1_tables(rate_idx2)
             if fast_psy:
                 tabs.update(psycho1_fast.make_fast_tables(tabs))
-            self.psy1_tabs = {k: jnp.asarray(v) for k, v in tabs.items()}
+            # keys starting with "static_" hold Python/numpy constants baked
+            # into the trace (not device arrays)
+            self.psy1_tabs = {k: (v if k.startswith("static_") or v is None
+                                  else jnp.asarray(v))
+                              for k, v in tabs.items()}
         else:
             self.psy1_tabs = None
         if psy_model == 3:

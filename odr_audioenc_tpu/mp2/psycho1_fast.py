@@ -22,8 +22,8 @@ import numpy as np
 from .. import tables as T
 from .psycho1 import NBINS, PAD, DBMIN, power_spectrum, minimum_mask, smr_from, subsample
 
-_RELAX_ROUNDS = 3
-_MERGE_ROUNDS = 4
+_RELAX_ROUNDS = 2
+_MERGE_ROUNDS = 2
 MAX_TONE = 128
 
 
@@ -158,47 +158,57 @@ def noise_fast(power, is_tone, energy, band_matrix, centre_base, centre_span, dt
     return power, member
 
 
-def merge_fast(power, member, bark_of_bin, dtype):
-    """Bounded-relaxation 0.5-bark pairwise merge."""
-    B = power.shape[0]
-    bins = jnp.arange(NBINS)
+def compact_maskers(member, power, bark_of_bin, kmax, dtype):
+    """Compact the sparse masker set to its first `kmax` members (bin order).
+    Returns (m [B,K] valid, x [B,K] dB, bk [B,K] bark at the masker bin —
+    which IS threshold's bark_t, since bark_of_bin = bark_line[map]).
+    Implemented as a rank one-hot + ONE batched matmul so it lowers to the
+    MXU instead of sort/gather kernels (gather/scatter/top_k each cost a
+    dispatch round-trip that dwarfs the math at this size)."""
+    rank = jnp.cumsum(member, axis=1) - 1                       # [B, N]
+    ks = jnp.arange(kmax)
+    oh = (rank[:, :, None] == ks[None, None, :]) & member[:, :, None]
+    vals = jnp.stack([power, bark_of_bin * jnp.ones_like(power)], axis=-1)
+    out = jnp.einsum("bnk,bnc->bkc", oh.astype(dtype), vals)
+    m = oh.any(axis=1)
+    return m, out[..., 0], out[..., 1]
+
+
+def merge_compact(m, x, bk):
+    """Bounded-relaxation 0.5-bark pairwise merge, in the compact [B,K]
+    masker domain (entries are already in ascending-bin order, so the
+    previous list member is just the previous valid compact slot).
+    Gathers/scatters at prev-indices are one-hot matmuls (MXU)."""
+    B, K = m.shape
+    ks = jnp.arange(K)
+    dtype = x.dtype
+    vals = jnp.stack([bk, x], axis=-1)                          # [B, K, 2]
     for _ in range(_MERGE_ROUNDS):
-        # previous member index per position (exclusive cummax of masked iota)
-        midx = jnp.where(member, bins[None, :], -1)
+        midx = jnp.where(m, ks[None, :], -1)
         prev_inc = jax.lax.associative_scan(jnp.maximum, midx, axis=1)
         prev = jnp.concatenate([jnp.full((B, 1), -1), prev_inc[:, :-1]], axis=1)
-        has_prev = member & (prev >= 0)
-        pidx = jnp.maximum(prev, 0)
-        bk_p = jnp.take_along_axis(bark_of_bin, pidx, 1)
-        x_p = jnp.take_along_axis(power, pidx, 1)
-        close = has_prev & ((bark_of_bin - bk_p) < 0.5)
-        drop_self = close & (power <= x_p)
-        drop_prev_at = close & (power > x_p)
-        # scatter drop of prev
-        dropped_prev = jnp.zeros_like(member)
-        dropped_prev = dropped_prev.at[jnp.arange(B)[:, None], pidx].max(drop_prev_at)
-        newm = member & ~drop_self & ~dropped_prev
-        if True:
-            changed = newm != member
-        member = newm
-        power = jnp.where(member | ~(drop_self | dropped_prev), power, DBMIN)
-    return power, member
+        p_oh = ((prev[:, :, None] == ks[None, None, :])).astype(dtype)  # [B,K,J]
+        pv = jnp.einsum("bkj,bjc->bkc", p_oh, vals)
+        bk_p, x_p = pv[..., 0], pv[..., 1]
+        close = m & (prev >= 0) & ((bk - bk_p) < 0.5)
+        drop_self = close & (x <= x_p)
+        drop_prev_at = close & (x > x_p)
+        dropped_prev = jnp.einsum("bkj,bk->bj", p_oh,
+                                  drop_prev_at.astype(dtype)) > 0.5
+        m = m & ~drop_self & ~dropped_prev
+    return m
 
 
-def threshold_fast(power, tone_m, noise_m, map_of_bin, bark_line, hear_line,
+def threshold_fast(tone_c, noise_c, bark_line, hear_line,
                    sub_size, low_rate, dtype):
-    """Linear-domain global threshold with masker compaction."""
+    """Linear-domain global threshold over pre-compacted masker sets.
+    tone_c/noise_c: (m [B,K], x [B,K], bark_t [B,K]) from compact_maskers."""
     B, NLINE = bark_line.shape
     ks = jnp.arange(NLINE)
     kvalid = (ks[None, :] >= 1) & (ks[None, :] < sub_size[:, None])
 
-    def accumulate(member, c_bark, c_off, kmax):
-        score = jnp.where(member, 1000000 - jnp.arange(NBINS), 0)
-        _, idx = jax.lax.top_k(score, kmax)           # [B, kmax] masker bins
-        m = jnp.take_along_axis(member, idx, 1)       # valid flags
-        x_t = jnp.take_along_axis(power, idx, 1)
-        mp = jnp.take_along_axis(map_of_bin, idx, 1)
-        bark_t = jnp.take_along_axis(bark_line, mp, 1)
+    def accumulate(c, c_bark, c_off):
+        m, x_t, bark_t = c
         dz = bark_line[:, None, :] - bark_t[:, :, None]        # [B, K, NLINE]
         in_rng = (dz >= -3.0) & (dz < 8.0)
         tmps = -1.525 + c_bark * bark_t + c_off + x_t          # [B, K]
@@ -210,11 +220,25 @@ def threshold_fast(power, tone_m, noise_m, map_of_bin, bark_line, hear_line,
         contrib = _lin(tmps[:, :, None] + vf) * (in_rng & m[:, :, None])
         return contrib.sum(axis=1)                              # [B, NLINE]
 
-    acc = accumulate(tone_m, -0.275, -4.5, MAX_TONE)
-    acc = acc + accumulate(noise_m, -0.175, -0.5, 32)
+    acc = accumulate(tone_c, -0.275, -4.5)
+    acc = acc + accumulate(noise_c, -0.175, -0.5)
     base = jnp.where(low_rate[:, None], hear_line, hear_line - 12.0)
     ltg = _db(_lin(base) + acc)
     return jnp.where(kvalid, ltg, DBMIN)
+
+
+def minimum_mask_fast(ltg_x, hear_line, static_mm):
+    """minimum_mask with the config-static structure baked in: the j pointer,
+    tail flags, and the line->subband match sets depend only on the
+    (homogeneous) sample rate.  Runtime work is one masked min-reduce and one
+    one-hot matmul — two fused kernels instead of 32 gathers."""
+    mask, tail, j_onehot, has_match, ss = static_mm
+    dtype = ltg_x.dtype
+    big = jnp.asarray(np.finfo(np.float32).max, dtype)
+    min_match = jnp.where(jnp.asarray(mask)[None], ltg_x[:, :, None], big).min(1)
+    x_at_j = ltg_x @ jnp.asarray(j_onehot, dtype)               # [B, 32]
+    out = jnp.where(jnp.asarray(has_match)[None], min_match, x_at_j)
+    return jnp.where(jnp.asarray(tail)[None], hear_line[:, ss - 1][:, None], out)
 
 
 def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32):
@@ -233,14 +257,22 @@ def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32):
     hear_of_bin = psy_tabs["hear_of_bin"]
     power, tone_m = subsample(power, tone_m, hear_of_bin)
     power, noise_m = subsample(power, noise_m, hear_of_bin)
-    bark_of_bin = psy_tabs["bark_of_bin"]
-    power, tone_m = merge_fast(power, tone_m, bark_of_bin, dtype)
 
-    ltg = threshold_fast(power, tone_m, noise_m, psy_tabs["map"],
+    # compact both masker sets once; merge + threshold run in [B,K] domain
+    bark_of_bin = psy_tabs["bark_of_bin"]
+    m_t, x_t, bk_t = compact_maskers(tone_m, power, bark_of_bin, MAX_TONE, dtype)
+    m_t = merge_compact(m_t, x_t, bk_t)
+    m_n, x_n, bk_n = compact_maskers(noise_m, power, bark_of_bin, 32, dtype)
+
+    ltg = threshold_fast((m_t, x_t, bk_t), (m_n, x_n, bk_n),
                          psy_tabs["bark_line"], psy_tabs["hear_line"],
                          psy_tabs["sub_size"], low_rate, dtype)
-    ltmin = minimum_mask(ltg, psy_tabs["line_sb"], psy_tabs["hear_line"],
-                         psy_tabs["sub_size"])
+    if psy_tabs.get("static_mm") is not None:
+        ltmin = minimum_mask_fast(ltg, psy_tabs["hear_line"],
+                                  psy_tabs["static_mm"])
+    else:
+        ltmin = minimum_mask(ltg, psy_tabs["line_sb"], psy_tabs["hear_line"],
+                             psy_tabs["sub_size"])
     return smr_from(ltmin, spike, scale_max, dtype)
 
 
@@ -279,4 +311,27 @@ def make_fast_tables(psy_tabs_np, dtype=np.float32):
                 if span[b, k] > 0:
                     bm[b, k, base[b, k]: base[b, k] + span[b, k]] = 1.0
         band_matrix = bm
-    return {"band_matrix": band_matrix, "centre_base": base, "centre_span": span}
+
+    out = {"band_matrix": band_matrix, "centre_base": base, "centre_span": span}
+
+    # static minimum_mask structure (homogeneous sample rate only): the line
+    # -> subband map, j pointer and tail flags are data-independent
+    ls_rows = psy_tabs_np["line_sb"]
+    ss_rows = psy_tabs_np["sub_size"]
+    if len(np.unique(ls_rows, axis=0)) == 1 and len(np.unique(ss_rows)) == 1:
+        NLINE = ls_rows.shape[1]
+        ss = int(ss_rows[0])
+        ls = ls_rows[0]
+        valid = (np.arange(NLINE) >= 1) & (np.arange(NLINE) < ss)
+        sbl = np.where(valid, ls, 999)
+        j_raw = 1 + (sbl[None, :] < np.arange(32)[:, None]).sum(1)
+        j_i = np.clip(j_raw, 0, NLINE - 1)
+        tail = j_raw >= ss - 1
+        mask = sbl[:, None] == np.arange(32)[None, :]           # [NLINE, 32]
+        has_match = mask.any(0)
+        j_onehot = np.zeros((NLINE, 32), dtype)
+        j_onehot[j_i, np.arange(32)] = 1.0
+        out["static_mm"] = (mask, tail, j_onehot, has_match, ss)
+    else:
+        out["static_mm"] = None
+    return out
