@@ -23,6 +23,20 @@ BANC = 32  # header bits
 BERR = 16  # CRC bits (error_protection always on in the DAB tool)
 
 
+def _onehot_lut(idx, table):
+    """table[idx] as a one-hot select+reduce (fuses; avoids gather kernels,
+    whose dispatch cost dwarfs the data at these sizes).  Exact: sums one
+    element.  idx [...], table [n] -> [...] in table.dtype."""
+    oh = idx[..., None] == jnp.arange(table.shape[0])
+    return (oh * table).sum(-1, dtype=table.dtype)
+
+
+def _onehot_sel(rows, idx):
+    """rows [..., n] selected at idx [...] via one-hot (same rationale)."""
+    oh = idx[..., None] == jnp.arange(rows.shape[-1])
+    return (oh * rows).sum(-1, dtype=rows.dtype)
+
+
 def scalefactor_calc(sb_sample, dtype):
     """sb_sample: [..., 3, 12, 32] -> sf indices [..., 3, 32]
     (scalefactor_calc_new, encode_new.c:179-230)."""
@@ -130,9 +144,8 @@ def bits_for_nonoise(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
 
     ba = _ba_for_mnr(smr, ft["step_idx"], ft["max_alloc"], sblimit, nch,
                      jsbound, dtype, snr_steps=ft["snr_steps"])
-    si = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1), ba[..., None], -1)[..., 0]
-    smp = 12 * jnp.asarray(T.GROUP)[si] * jnp.asarray(T.BITS)[si]  # [B,2,32]
-    sfs = jnp.asarray(T.SFS_PER_SCFSI)[scfsi]  # [B,2,32]
+    smp = _onehot_sel(ft["gb_steps"][:, None], ba)  # 12*group*bits at ba
+    sfs = _onehot_lut(scfsi, jnp.asarray(T.SFS_PER_SCFSI))  # [B,2,32]
     sel = jnp.full_like(smp, 2)
     sc = 6 * sfs
     is_js = (sb >= jsbound[:, None])[:, None, :] & (nch[:, None, None] == 2)
@@ -201,7 +214,7 @@ def _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
     # maxmnr_new's small=999999.0 start makes such entries unselectable
     keys = jnp.where(keys < 999999.0, keys, jnp.inf)
 
-    sfs = jnp.asarray(T.SFS_PER_SCFSI)[scfsi]                   # [B,2,32]
+    sfs = _onehot_lut(scfsi, jnp.asarray(T.SFS_PER_SCFSI))      # [B,2,32]
     first_extra0 = jnp.where(is_js, 4 + 6 * (sfs[:, 0] + sfs[:, 1]), 2 + 6 * sfs[:, 0])
     first_extra = jnp.stack([first_extra0, 2 + 6 * sfs[:, 1]], axis=1)
 
@@ -239,18 +252,33 @@ def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
     ad = adb - (bbal + BERR + BANC)
 
     lt = _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype)
-    order = jnp.lexsort((lt["tie"], lt["keys"]), axis=-1)       # [B, 1024]
-    cost_sorted = jnp.take_along_axis(lt["cost"], order, -1)
-    cum = jnp.cumsum(cost_sorted, axis=-1)
+    # ONE stable multi-operand sort carries the costs and original positions
+    # along; the taken set is then recovered by comparing every rung against
+    # the (key, tie, pos) of the first unaffordable sorted slot - a purely
+    # elementwise test, so no inverse-permutation scatter is needed.
+    R = lt["keys"].shape[-1]
+    pos = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), lt["keys"].shape)
+    keys_s, tie_s, cost_s, pos_s = jax.lax.sort(
+        (lt["keys"], lt["tie"].astype(jnp.int32), lt["cost"], pos),
+        num_keys=2, dimension=-1, is_stable=True)
+    cum = jnp.cumsum(cost_s, axis=-1)
     afford = cum <= ad[:, None]
     # allocated prefix: positions before the first unaffordable rung
     first_fail = jnp.argmin(afford, axis=-1)  # first False (or 0 if all True)
     all_true = afford.all(axis=-1)
-    nprefix = jnp.where(all_true, afford.shape[-1], first_fail)
-    taken_sorted = jnp.arange(afford.shape[-1])[None, :] < nprefix[:, None]
-    taken = jnp.zeros_like(taken_sorted).at[
-        jnp.arange(B)[:, None], order].set(taken_sorted)
-    taken = taken & lt["valid"]
+    nprefix = jnp.where(all_true, R, first_fail)
+
+    # threshold = sort tuple of the first NON-taken slot (stable sort makes
+    # "strictly before the threshold in sort order" an elementwise predicate)
+    thr = jnp.clip(nprefix, 0, R - 1)[:, None]
+    kt = jnp.take_along_axis(keys_s, thr, -1)
+    tt = jnp.take_along_axis(tie_s, thr, -1)
+    pt = jnp.take_along_axis(pos_s, thr, -1)
+    tie_i = lt["tie"].astype(jnp.int32)
+    before_thr = (lt["keys"] < kt) | \
+                 ((lt["keys"] == kt) & ((tie_i < tt) |
+                                        ((tie_i == tt) & (pos < pt))))
+    taken = jnp.where(all_true[:, None], lt["valid"], before_thr & lt["valid"])
     spent0 = jnp.where(nprefix > 0,
                        jnp.take_along_axis(cum, jnp.maximum(nprefix - 1, 0)[:, None], -1)[:, 0],
                        0)
@@ -296,9 +324,27 @@ def _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype):
 
     sb_idx = jnp.arange(SBLIMIT)[None, :]
     is_js_e = (sb_idx >= jsbound[:, None])[:, None, :] & (nch[:, None, None] == 2)
-    sfs_all = sfs_tab[scfsi]  # [B,2,32]
+    sfs_all = _onehot_lut(scfsi, sfs_tab)  # [B,2,32]
     first_extra_e = jnp.where(is_js_e, 4 + 6 * (sfs_all + sfs_all[:, ::-1]),
                               2 + 6 * sfs_all)
+
+    # all per-pick lookups below are one-hot select+reduce instead of
+    # gather/scatter: inside the While body each gather is its own kernel
+    # and the dispatch overhead dominates the (tiny) data - one-hot forms
+    # fuse into the surrounding elementwise work
+    gbq_tab = jnp.asarray(12 * np.asarray(T.GROUP) * np.asarray(T.BITS),
+                          jnp.int32)                                   # [18]
+    nsi = gbq_tab.shape[0]
+
+    def lut(idx, table):
+        """table[idx] via one-hot: idx [...], table [n] -> [...]."""
+        oh = idx[..., None] == jnp.arange(table.shape[0])
+        return (oh * table).sum(-1, dtype=table.dtype)
+
+    def sel16(rows, idx):
+        """rows [B,...,16] selected at idx [B,...] via one-hot."""
+        oh = idx[..., None] == jnp.arange(16)
+        return (oh * rows).sum(-1, dtype=rows.dtype)
 
     def _entry_costs(st):
         """Next-rung full cost for every open entry (vectorised).
@@ -309,13 +355,11 @@ def _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype):
         guaranteed to freeze when visited - we can freeze them all at once
         without changing the pick sequence of the remaining entries."""
         ba = st["bit_alloc"]
-        si_next = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1),
-                                      jnp.clip(ba + 1, 0, 15)[..., None], -1)[..., 0]
-        si_cur = jnp.take_along_axis(ft["step_idx"][:, None].repeat(2, 1),
-                                     ba[..., None], -1)[..., 0]
-        inc = 12 * group_tab[si_next] * bits_tab[si_next]
-        inc = inc - jnp.where(st["used"] == 1,
-                              12 * group_tab[si_cur] * bits_tab[si_cur], 0)
+        si2 = flat_si[:, None]                       # [B,1,32,16]
+        si_next = sel16(si2, jnp.clip(ba + 1, 0, 15))
+        si_cur = sel16(si2, ba)
+        inc = lut(si_next, gbq_tab)
+        inc = inc - jnp.where(st["used"] == 1, lut(si_cur, gbq_tab), 0)
         return inc + jnp.where(st["used"] == 0, first_extra_e, 0)
 
     def cond(st):
@@ -340,30 +384,30 @@ def _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype):
         act = any_open & ~st["done"]
         min_ch = flat // SBLIMIT
         min_sb = flat % SBLIMIT
+        oh = (flat[:, None] == jnp.arange(64))           # [B, 64] pick one-hot
+        sb_oh = (min_sb[:, None] == jnp.arange(SBLIMIT))  # [B, 32]
 
-        def g2(a):  # gather a[B,2,32] at (min_ch, min_sb)
-            return jnp.take_along_axis(a.reshape(B, 64), flat[:, None], 1)[:, 0]
-
-        def gsb(a):  # gather a[B,32] at min_sb
-            return jnp.take_along_axis(a, min_sb[:, None], 1)[:, 0]
+        def g2(a):  # a[B,2,32] at (min_ch, min_sb)
+            return jnp.where(oh, a.reshape(B, 64), 0).sum(1, dtype=a.dtype)
 
         ba_cur = g2(st["bit_alloc"])
         used_cur = g2(st["used"])
-        si_row = jnp.take_along_axis(flat_si, min_sb[:, None, None], 1)[:, 0]  # [B,16]
-        si_next = jnp.take_along_axis(si_row, jnp.clip(ba_cur + 1, 0, 15)[:, None], 1)[:, 0]
-        si_cur = jnp.take_along_axis(si_row, ba_cur[:, None], 1)[:, 0]
-        increment = 12 * group_tab[si_next] * bits_tab[si_next]
-        increment = increment - jnp.where(used_cur == 1,
-                                          12 * group_tab[si_cur] * bits_tab[si_cur], 0)
+        si_row = (sb_oh[:, :, None] * flat_si).sum(1, dtype=flat_si.dtype)  # [B, 16]
+        si_next = sel16(si_row, jnp.clip(ba_cur + 1, 0, 15))
+        si_cur = sel16(si_row, ba_cur)
+        increment = lut(si_next, gbq_tab)
+        increment = increment - jnp.where(used_cur == 1, lut(si_cur, gbq_tab), 0)
         oth_ch = 1 - min_ch
+        oth_flat = oth_ch * SBLIMIT + min_sb
+        oh_oth = (oth_flat[:, None] == jnp.arange(64))
         scfsi_min = g2(scfsi)
-        scfsi_oth = jnp.take_along_axis(scfsi.reshape(B, 64),
-                                        (oth_ch * SBLIMIT + min_sb)[:, None], 1)[:, 0]
+        scfsi_oth = jnp.where(oh_oth, scfsi.reshape(B, 64), 0).sum(1, dtype=scfsi.dtype)
         fresh = used_cur == 0
         is_js = (min_sb >= jsbound) & (nch == 2)
         seli = jnp.where(fresh, jnp.where(is_js, 4, 2), 0)
         scale = jnp.where(fresh,
-                          6 * sfs_tab[scfsi_min] + jnp.where(is_js, 6 * sfs_tab[scfsi_oth], 0),
+                          6 * lut(scfsi_min, sfs_tab) +
+                          jnp.where(is_js, 6 * lut(scfsi_oth, sfs_tab), 0),
                           0)
 
         cost = st["spent"] + seli + scale + increment
@@ -372,32 +416,31 @@ def _alloc_tail(ba0, spent0, ad, smr, scfsi, ft, sblimit, nch, jsbound, dtype):
         freeze = act & ~fits
 
         ba_new = ba_cur + 1
-        max_a = gsb(ft["max_alloc"])
+        max_a = jnp.where(sb_oh, ft["max_alloc"], 0).sum(1, dtype=ft["max_alloc"].dtype)
         new_used = jnp.where(alloc & (ba_new >= max_a), 2,
                    jnp.where(alloc, 1, jnp.where(freeze, 2, used_cur)))
-        si_new = jnp.take_along_axis(si_row, jnp.clip(ba_new, 0, 15)[:, None], 1)[:, 0]
+        si_new = sel16(si_row, jnp.clip(ba_new, 0, 15))
         smr_min = g2(smr)
-        mnr_new = snr_tab[si_new] - smr_min
+        mnr_new = lut(si_new, snr_tab) - smr_min
 
-        def scat(a, idx_flat, val, on):
-            cur = jnp.take_along_axis(a.reshape(B, 64), idx_flat[:, None], 1)[:, 0]
-            v = jnp.where(on, val, cur)
-            return a.reshape(B, 64).at[jnp.arange(B), idx_flat].set(v).reshape(B, 2, SBLIMIT)
+        def scat(a, onehot, val, on):
+            upd = onehot & on[:, None]
+            return jnp.where(upd, val[:, None].astype(a.dtype),
+                             a.reshape(B, 64)).reshape(B, 2, SBLIMIT)
 
-        bit_alloc = scat(st["bit_alloc"], flat, ba_new, alloc)
-        used = scat(st["used"], flat, new_used, alloc | freeze)
-        mnr = scat(st["mnr"], flat, mnr_new, alloc)
+        bit_alloc = scat(st["bit_alloc"], oh, ba_new, alloc)
+        used = scat(st["used"], oh, new_used, alloc | freeze)
+        mnr = scat(st["mnr"], oh, mnr_new, alloc)
 
         # joint mirror: above jsbound the allocation applies to both channels
-        oth_flat = oth_ch * SBLIMIT + min_sb
         mirror = is_js & (alloc | freeze) & act
-        smr_oth = jnp.take_along_axis(smr.reshape(B, 64), oth_flat[:, None], 1)[:, 0]
+        smr_oth = jnp.where(oh_oth, smr.reshape(B, 64), 0).sum(1, dtype=smr.dtype)
         ba_mirror = jnp.where(alloc, ba_new, ba_cur)
-        si_mir = jnp.take_along_axis(si_row, jnp.clip(ba_mirror, 0, 15)[:, None], 1)[:, 0]
-        bit_alloc = scat(bit_alloc, oth_flat, ba_mirror, mirror)
-        used = scat(used, oth_flat, jnp.where(alloc, new_used,
-                                              jnp.asarray(2, jnp.int32)), mirror)
-        mnr = scat(mnr, oth_flat, snr_tab[si_mir] - smr_oth, mirror)
+        si_mir = sel16(si_row, jnp.clip(ba_mirror, 0, 15))
+        bit_alloc = scat(bit_alloc, oh_oth, ba_mirror, mirror)
+        used = scat(used, oh_oth, jnp.where(alloc, new_used,
+                                            jnp.asarray(2, jnp.int32)), mirror)
+        mnr = scat(mnr, oh_oth, lut(si_mir, snr_tab) - smr_oth, mirror)
 
         return dict(
             bit_alloc=bit_alloc, used=used, mnr=mnr,
@@ -421,16 +464,16 @@ def quantize(sf_index, sb_sample, j_scale, j_sample, bit_alloc, ft,
     sb = jnp.arange(SBLIMIT)
     is_js = (sb[None, :] >= jsbound[:, None]) & (nch[:, None] == 2)  # [B,32]
 
-    scale = sftab[sf_index]  # [B,2,3,32]
+    scale = _onehot_lut(sf_index, sftab)  # [B,2,3,32]
     d_own = sb_sample / scale[:, :, :, None, :]
-    d_js = j_sample / sftab[j_scale][:, :, None, :]  # [B,3,12,32]
+    d_js = j_sample / _onehot_lut(j_scale, sftab)[:, :, None, :]  # [B,3,12,32]
     d = jnp.where(is_js[:, None, None, None, :], d_js[:, None], d_own)
 
-    si = jnp.take_along_axis(ft["step_idx"], bit_alloc.transpose(0, 2, 1), -1)  # [B,32,2]
-    si = si.transpose(0, 2, 1)[:, :, None, None, :]  # [B,2,1,1,32]
-    a = jnp.asarray(T.QUANT_A, dtype)[si]
-    b = jnp.asarray(T.QUANT_B, dtype)[si]
-    s2n = jnp.asarray(T.STEPS2N)[si]
+    si = _onehot_sel(ft["step_idx"][:, None], bit_alloc)  # [B,2,32]
+    si = si[:, :, None, None, :]  # [B,2,1,1,32]
+    a = _onehot_lut(si, jnp.asarray(T.QUANT_A, dtype))
+    b = _onehot_lut(si, jnp.asarray(T.QUANT_B, dtype))
+    s2n = _onehot_lut(si, jnp.asarray(T.STEPS2N))
 
     q = d * a + b
     neg = q < 0
