@@ -48,7 +48,7 @@ def main():
     from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
     from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
 
-    S = int(os.environ.get("BENCH_STREAMS", "256"))
+    S = int(os.environ.get("BENCH_STREAMS", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)

@@ -24,7 +24,7 @@ from .psycho1 import NBINS, PAD, DBMIN, power_spectrum, minimum_mask, smr_from, 
 
 _RELAX_ROUNDS = 2
 _MERGE_ROUNDS = 2
-MAX_TONE = 128
+MAX_TONE = 64
 
 
 def _lin(x):
@@ -134,27 +134,31 @@ def noise_fast(power, is_tone, energy, band_matrix, centre_base, centre_span, dt
     centre = centre_base + (index * span).astype(jnp.int32)
     centre = jnp.where(no_comp, centre_base + centre_span // 2, centre)
     centre = jnp.clip(centre, 0, NBINS - 1)
-    # Iwadare adjust
-    t_c = jnp.take_along_axis(is_tone, centre, 1)
-    t_c1 = jnp.take_along_axis(is_tone, jnp.clip(centre + 1, 0, NBINS - 1), 1)
+    # Iwadare adjust; tone flags at centre/centre+1 via one-hot compares
+    oh_c = centre[:, :, None] == jnp.arange(NBINS)          # [B, NBANDS, 512]
+    t_c = (oh_c & is_tone[:, None, :]).any(-1)
+    tone_next = jnp.concatenate([is_tone[:, 1:],
+                                 jnp.zeros_like(is_tone[:, :1])], axis=1)
+    t_c1 = (oh_c & tone_next[:, None, :]).any(-1)
     centre = jnp.clip(jnp.where(t_c, jnp.where(t_c1, centre + 1, centre - 1), centre),
                       0, NBINS - 1)
     valid = centre_span > 0
     sum_db = jnp.where(no_comp, jnp.asarray(DBMIN, dtype), sum_db)
-    member = jnp.zeros_like(is_tone)
-    member = member.at[jnp.arange(member.shape[0])[:, None], centre].max(valid)
     # consumed lines -> DBMIN; then centre writes in band order (a later
     # band's empty-sum centre can overwrite an earlier masker - noise_label
-    # mutates in place, psycho_1.c:390-397)
+    # mutates in place, psycho_1.c:390-397).  member/power centre writes are
+    # one-hot compares accumulated in band order - no gather/scatter kernels.
     if band_matrix.ndim == 2:
         inband = (band_matrix.sum(0) > 0)[None, :]
     else:
         inband = (band_matrix.sum(1) > 0)
     power = jnp.where(usable & inband, DBMIN, power)
     bins_i = jnp.arange(NBINS)
+    member = jnp.zeros_like(is_tone)
     for k in range(centre.shape[1]):
         oh = (bins_i[None, :] == centre[:, k, None]) & valid[:, k, None]
         power = jnp.where(oh, sum_db[:, k, None], power)
+        member = member | oh
     return power, member
 
 
