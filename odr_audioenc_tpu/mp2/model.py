@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables as T
-from . import allocate, polyphase, psycho0, psycho1, psycho1_fast, psycho3
+from . import allocate, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3
 
 MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 _MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
@@ -130,6 +130,13 @@ class Mp2Encoder:
                 raise ValueError("psy model 3 requires a homogeneous sample "
                                  "rate per encoder batch")
             self.psy3_tabs = psycho3.make_psy3_tables(rates.pop())
+        if psy_model == 2:
+            rates = {1000.0 * T.S_FREQ_KHZ[v][si]
+                     for v, si in zip(config.version, config.sfreq_idx)}
+            if len(rates) != 1:
+                raise ValueError("psy model 2 requires a homogeneous sample "
+                                 "rate per encoder batch")
+            self.psy2_tabs = psycho2.make_psy2_tables(rates.pop())
         if psy_model == 0:
             self.ath_min = jnp.asarray(np.stack([
                 T.psy0_ath_min(1000.0 * T.S_FREQ_KHZ[v][si])
@@ -141,7 +148,10 @@ class Mp2Encoder:
 
     def init_state(self):
         S = self.cfg.n_streams
-        return {"hist": jnp.zeros((S, 2, 480), self.dtype)}
+        state = {"hist": jnp.zeros((S, 2, 480), self.dtype)}
+        if self.psy_model == 2:
+            state["psy2"] = psycho2.init_psy2_state(S * 2, self.dtype)
+        return state
 
     def _encode_step(self, state, pcm, xpad_len):
         """pcm: [S, 2, 1152] int16; xpad_len: [S] int32.
@@ -176,6 +186,11 @@ class Mp2Encoder:
                          dtype).reshape(S, 2, 32)
         elif self.psy_model == 0:
             smr = psycho0.psycho_0(sf_index, self.ath_min[:, None, :], dtype)
+        elif self.psy_model == 2:
+            raw = pcm.astype(dtype).reshape(S * 2, 1152)
+            smr, psy2_state = psycho2.psycho_2(raw, state["psy2"],
+                                               self.psy2_tabs, dtype)
+            smr = smr.reshape(S, 2, 32)
         elif self.psy_model == 3:
             window = jnp.concatenate([state["hist"][..., 288:], frame[..., :832]],
                                      axis=-1).reshape(S * 2, 1024)
@@ -217,7 +232,10 @@ class Mp2Encoder:
             "adb_left": adb_left.astype(jnp.int32),
             "smr": smr,
         }
-        return {"hist": hist}, out
+        new_state = {"hist": hist}
+        if self.psy_model == 2:
+            new_state["psy2"] = psy2_state
+        return new_state, out
 
     def encode_step(self, state, pcm, xpad_len=None):
         S = self.cfg.n_streams

@@ -52,6 +52,7 @@ FREQ_ENTRIES = _npz["freq_entries"]        # [7]
 FREQ_LINE = _npz["freq_line"]              # [7, 132]
 FREQ_BARK = _npz["freq_bark"]              # [7, 132]
 FREQ_HEAR = _npz["freq_hear"]              # [7, 132]
+ABSTHR = _npz["absthr"]                    # [4, 513] psy-2 absolute thresholds
 
 # 1: MPEG-1, 0: MPEG-2 LSF (common.c:26-32)
 S_FREQ_KHZ = np.array([[22.05, 24.0, 16.0, 0.0], [44.1, 48.0, 32.0, 0.0]])

@@ -94,6 +94,11 @@ def main():
     tables["freq_bark"] = sub[:, :, 1]
     tables["freq_hear"] = sub[:, :, 2]
 
+    # --- psy model 2: absolute threshold tables (absthr.h, absthr_table[4][513])
+    at = (REF / "libtoolame-dab" / "absthr.h").read_text()
+    tables["absthr"] = extract_array(at, "absthr_table[4][HBLKSIZE]",
+                                     4 * 513).reshape(4, 513)
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes): " + ", ".join(sorted(tables)))
