@@ -52,6 +52,15 @@ def make_argparser():
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--streams", default=None,
                    help="JSON config for batched multi-stream operation")
+    p.add_argument("--syslog", action="store_true",
+                   help="log to syslog (LogToSyslog backend)")
+    p.add_argument("--logfile", default=None,
+                   help="append log lines to a file (LogToFile backend)")
+    p.add_argument("--tracefile", default=None,
+                   help="microsecond event trace output (LogTracer backend)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the encode loop "
+                        "into DIR (view with tensorboard/xprof)")
     return p
 
 
@@ -326,17 +335,37 @@ def run_streams(args):
     return run_fleet(conf, verbose=args.verbose)
 
 
+def _setup_logging(args):
+    from .host.log import eti_log, LogToSyslog, LogToFile, LogTracer
+    if args.syslog:
+        eti_log.register_backend(LogToSyslog())
+    if args.logfile:
+        eti_log.register_backend(LogToFile(args.logfile))
+    if args.tracefile:
+        eti_log.register_backend(LogTracer(args.tracefile))
+    return eti_log
+
+
 def main(argv=None):
     args = make_argparser().parse_args(argv)
+    _setup_logging(args)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     if args.startup_check:
         r = subprocess.run(args.startup_check, shell=True)
         if r.returncode != 0:
             print(f"Startup check failed, returned {r.returncode}", file=sys.stderr)
             return 1
         print("Startup check ok", file=sys.stderr)
-    if args.streams:
-        return run_streams(args)
-    return run_single(args)
+    try:
+        if args.streams:
+            return run_streams(args)
+        return run_single(args)
+    finally:
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

@@ -37,9 +37,10 @@ class Mp2Packer:
         line_row = T.LINE[int(cfg.tablenum[i])]
         nbal_row = np.where(line_row >= 0, T.NBAL[np.maximum(line_row, 0)], 0)
 
+        extra = int(out["extra"][i]) if "extra" in out else 0
         h = dict(bitrate_index=int(cfg.bitrate_idx[i]),
                  sampling_frequency=int(cfg.sfreq_idx[i]),
-                 padding=0, extension=0, mode=mode, mode_ext=mode_ext,
+                 padding=extra, extension=0, mode=mode, mode_ext=mode_ext,
                  copyright=0, original=0, emphasis=0)
 
         # header (write_header, encode_new.c:356-373)
@@ -138,8 +139,9 @@ class Mp2Packer:
             bw.put(0, 16)
 
         frame_bytes = bytearray(bw.bytes())
-        assert len(frame_bytes) == int(cfg.lg_frame[i]), \
-            f"frame length {len(frame_bytes)} != {int(cfg.lg_frame[i])}"
+        want_len = int(cfg.lg_frame[i]) + extra
+        assert len(frame_bytes) == want_len, \
+            f"frame length {len(frame_bytes)} != {want_len}"
         scf_off = len(frame_bytes) - 2 - dab_ext
         return frame_bytes, scf_off, scf_vals
 

@@ -36,6 +36,7 @@ class Mp2Config:
     low_rate: np.ndarray       # per-channel bitrate < 96 (psy1 hear offset)
     psy_rate_idx: np.ndarray   # psy-1 table index (sfreq_idx [+4 for MPEG-2])
     bitrate_kbps: np.ndarray
+    slots_frac: np.ndarray     # fractional slots/frame (44.1k family padding)
 
     @property
     def n_streams(self):
@@ -52,6 +53,7 @@ def make_config(streams):
           "sblimit", "dab_ext", "dab_length", "adb_full", "lg_frame",
           "psy_rate_idx", "bitrate_kbps"]}
     low_rate = np.zeros(n, bool)
+    slots_frac = np.zeros(n, np.float64)
     for i, s in enumerate(streams):
         rate, br, mode = s["rate"], s["bitrate"], s["mode"]
         version, sfidx = {44100: (1, 0), 48000: (1, 1), 32000: (1, 2),
@@ -77,7 +79,7 @@ def make_config(streams):
             tablenum = 4
         average = (1152.0 / sfrq) * (br / 8.0)
         whole = int(average)
-        assert average == whole, f"fractional slot rates unsupported ({rate}Hz)"
+        slots_frac[i] = average - whole  # padding-slot lag (availbits.c:40-62)
         adb_full = whole * 8
         f["version"][i] = version
         f["sfreq_idx"][i] = sfidx
@@ -93,7 +95,7 @@ def make_config(streams):
         f["psy_rate_idx"][i] = sfidx + (0 if version == 1 else 4)
         f["bitrate_kbps"][i] = br
         low_rate[i] = br_per_ch < 96
-    return Mp2Config(low_rate=low_rate, **f)
+    return Mp2Config(low_rate=low_rate, slots_frac=slots_frac, **f)
 
 
 class Mp2Encoder:
@@ -145,6 +147,9 @@ class Mp2Encoder:
                      ["sblimit", "nch", "mode", "dab_ext", "adb_full",
                       "tablenum", "low_rate", "version"]}
         self._step = jax.jit(partial(self._encode_step))
+        # 44.1k-family padding-slot lag, advanced host-side in f64 exactly as
+        # the reference's static struct (availbits.c:27-62)
+        self.pad_lag = np.zeros(S, np.float64)
 
     def init_state(self):
         S = self.cfg.n_streams
@@ -153,8 +158,21 @@ class Mp2Encoder:
             state["psy2"] = psycho2.init_psy2_state(S * 2, self.dtype)
         return state
 
-    def _encode_step(self, state, pcm, xpad_len):
-        """pcm: [S, 2, 1152] int16; xpad_len: [S] int32.
+    def next_padding(self):
+        """Advance the padding-slot lag one frame; returns extra-slots [S]
+        (available_bits, availbits.c:51-62; usepadbit TRUE, vbr FALSE)."""
+        frac = self.cfg.slots_frac
+        m = frac != 0
+        nopad = self.pad_lag > (frac - 1.0)
+        extra = (m & ~nopad).astype(np.int32)
+        self.pad_lag = np.where(m, np.where(nopad, self.pad_lag - frac,
+                                            self.pad_lag + (1.0 - frac)),
+                                self.pad_lag)
+        return extra
+
+    def _encode_step(self, state, pcm, xpad_len, extra_slots=None):
+        """pcm: [S, 2, 1152] int16; xpad_len: [S] int32; extra_slots: [S]
+        padding slots this frame (44.1k family; None = no padding).
         Returns (state', outputs) - see pack.py for the consumer."""
         cfg = self._dev
         dtype = self.dtype
@@ -207,6 +225,8 @@ class Mp2Encoder:
         ft = allocate._frame_tables(cfg["tablenum"])
         adb = cfg["adb_full"] - cfg["dab_ext"] * 8 - \
             jnp.where(xpad_len > 0, xpad_len, 2) * 8
+        if extra_slots is not None:
+            adb = adb + extra_slots * 8
 
         is_joint = cfg["mode"] == MODE_JOINT
         stereo_sel, mode_ext, jsbound = allocate.js_mode_select(
@@ -232,6 +252,8 @@ class Mp2Encoder:
             "adb_left": adb_left.astype(jnp.int32),
             "smr": smr,
         }
+        if extra_slots is not None:
+            out["extra"] = extra_slots.astype(jnp.int32)
         new_state = {"hist": hist}
         if self.psy_model == 2:
             new_state["psy2"] = psy2_state
@@ -241,4 +263,7 @@ class Mp2Encoder:
         S = self.cfg.n_streams
         if xpad_len is None:
             xpad_len = jnp.zeros((S,), jnp.int32)
-        return self._step(state, jnp.asarray(pcm), jnp.asarray(xpad_len))
+        extra = None
+        if (self.cfg.slots_frac != 0).any():
+            extra = jnp.asarray(self.next_padding())
+        return self._step(state, jnp.asarray(pcm), jnp.asarray(xpad_len), extra)

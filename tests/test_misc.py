@@ -62,3 +62,22 @@ def test_vu_meter():
     assert level(0, 0) == ""
     assert level(0, 32767) in ("!=====", "======")
     assert len(level(1, 8000)) <= 6
+
+
+def test_log_backends(tmp_path):
+    """Logger + file/tracer backends (contrib/Log.h semantics)."""
+    from odr_audioenc_tpu.host.log import Logger, LogToFile, LogTracer, TRACE
+    lg = Logger()
+    f1 = tmp_path / "enc.log"
+    f2 = tmp_path / "trace.csv"
+    lg.register_backend(LogToFile(str(f1)))
+    lg.register_backend(LogTracer(str(f2)))
+    lg.level("warn")("queue underrun")
+    lg.level("info")("hello")
+    lg.log(TRACE, "frame,1")
+    txt = f1.read_text()
+    assert "WARN" in txt and "queue underrun" in txt
+    assert "hello" in txt and "frame,1" not in txt  # trace only in tracer
+    tr = f2.read_text().strip().splitlines()
+    assert tr[0].endswith("TRACER,startup")
+    assert tr[-1].split(",", 1)[1] == "frame,1"

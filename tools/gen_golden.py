@@ -37,6 +37,8 @@ CONFIGS = {
     "music_48s_128_j_psy3": ("music", 30, 48000, 128, "j", 3, 0),
     "tones_48s_192_s_psy3": ("tones", 20, 48000, 192, "s", 3, 0),
     "music_48s_128_j_psy1_xpad16": ("music", 30, 48000, 128, "j", 1, 16),
+    "music_44s_128_j_psy1": ("music", 30, 44100, 128, "j", 1, 0),
+    "music_44s_160_s_psy1": ("music", 30, 44100, 160, "s", 1, 0),
     "music_48s_128_j_psy2": ("music", 30, 48000, 128, "j", 2, 0),
     "tones_48s_192_s_psy2": ("tones", 20, 48000, 192, "s", 2, 0),
 }
