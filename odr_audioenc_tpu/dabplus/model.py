@@ -157,13 +157,36 @@ class DabPlusEncoder:
         out.update(sbr_out)
         return dict(state, prev=grans[-1]), out
 
-    def encode_superframes(self, state, pcm, add_rs=True, pads=None):
+    def take_state(self, state, idx):
+        """Per-stream state rows for churn (all leaves are [S, ...])."""
+        idx = np.asarray(idx)
+        return jax.tree_util.tree_map(lambda a: a[idx], state)
+
+    def put_state(self, state, idx, rows):
+        idx = np.asarray(idx)
+        return jax.tree_util.tree_map(lambda a, r: a.at[idx].set(r),
+                                      state, rows)
+
+    def encode_superframes(self, state, pcm, add_rs=True, pads=None,
+                           pack=True):
         """pcm: [S, ch, num_aus*au_samples] int16; pads: optional
         [S][num_aus] list of X-PAD byte strings (sent as DSE ancillary data,
         like IN_ANCILLRY_DATA in the reference).
-        Returns (state, [S] list of superframe bytes)."""
-        from . import sbr as SBR
+        Returns (state, [S] list of superframe bytes); with pack=False the
+        second element is the raw device output dict (still unsynchronised -
+        pass to pack_superframes later, so the host can pipeline packing
+        against the next device step)."""
         state, out = self._step(state, jnp.asarray(pcm))
+        if not pack:
+            self._pack_args = (add_rs, pads)
+            return state, out
+        return state, self.pack_superframes(out, add_rs=add_rs, pads=pads)
+
+    def pack_superframes(self, out, add_rs=None, pads=None):
+        """Host half of encode_superframes (AU syntax + superframe + RS)."""
+        from . import sbr as SBR
+        if add_rs is None:
+            add_rs, pads = getattr(self, "_pack_args", (True, None))
         out = {k: np.asarray(v) for k, v in out.items()}
         frames = []
         for s in range(self.S):
@@ -183,4 +206,4 @@ class DabPlusEncoder:
                         ps_iid=out["ps_iid"][s, a] if self.is_ps else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
-        return state, frames
+        return frames

@@ -95,15 +95,48 @@ def run_fleet(conf, verbose=0):
 
     t0 = time.perf_counter()
     audio_seconds = 0.0
+    # one-step-deep host<->device pipeline: the device computes step k while
+    # the host transfers + bit-packs step k-1's outputs (JAX dispatch is
+    # async; np.asarray is the sync point, so it runs AFTER the next step
+    # has been submitted)
+    pending = [None] * len(runners)
+
+    def drain(ri):
+        kind, members, enc, packer, _ = runners[ri]
+        if pending[ri] is None:
+            return
+        out_dev, pcm = pending[ri]
+        pending[ri] = None
+        if kind == "mp2":
+            out_np = {k: np.asarray(v) for k, v in out_dev.items()}
+            chunks = packer.emit(out_np)
+            for i, m in enumerate(members):
+                m.mp2_fifo += chunks[i]
+                fl = 3 * m.bitrate
+                while len(m.mp2_fifo) >= fl:
+                    if m.output:
+                        m.output.write_frame(m.mp2_fifo[:fl])
+                    m.mp2_fifo = m.mp2_fifo[fl:]
+                peak = int(np.abs(pcm[i].astype(np.int32)).max())
+                m.publish(peak, peak)
+                m.frames_done += 1
+        else:
+            frames = enc.pack_superframes(out_dev) \
+                if hasattr(enc, "pack_superframes") else out_dev
+            for i, m in enumerate(members):
+                if m.output:
+                    m.output.write_frame(frames[i])
+                peak = int(np.abs(pcm[i].astype(np.int32)).max())
+                m.publish(peak, peak)
+                m.frames_done += 1
+
     while True:
-        all_eof = True
-        for kind, members, enc, packer, _ in runners:
-            if not all(m.eof for m in members):
-                all_eof = False
+        all_eof = all(m.eof for _, members, *_ in runners for m in members)
         if all_eof:
             break
         for ri, (kind, members, enc, packer, state) in enumerate(runners):
             if all(m.eof for m in members):
+                drain(ri)
                 continue
             if kind == "mp2":
                 pcm = np.zeros((len(members), 2, 1152), np.int16)
@@ -112,36 +145,26 @@ def run_fleet(conf, verbose=0):
                     pcm[i, :m.channels] = p
                     if m.channels == 1:
                         pcm[i, 1] = p[0]
-                state, out = enc.encode_step(state, pcm)
-                out_np = {k: np.asarray(v) for k, v in out.items()}
-                chunks = packer.emit(out_np)
-                for i, m in enumerate(members):
-                    m.mp2_fifo += chunks[i]
-                    fl = 3 * m.bitrate
-                    while len(m.mp2_fifo) >= fl:
-                        if m.output:
-                            m.output.write_frame(m.mp2_fifo[:fl])
-                        m.mp2_fifo = m.mp2_fifo[fl:]
-                    peak = int(np.abs(pcm[i].astype(np.int32)).max())
-                    m.publish(peak, peak)
-                    m.frames_done += 1
+                state, out = enc.encode_step(state, pcm)  # async dispatch
                 audio_seconds += len(members) * 1152 / members[0].rate
             else:
                 nau = enc.cfg.num_aus
                 pcm = np.zeros((len(members), enc.cfg.channels, nau * 960), np.int16)
                 for i, m in enumerate(members):
                     pcm[i] = m.read_frame(nau * 960)[:enc.cfg.channels]
-                state, frames = enc.encode_superframes(state, pcm)
-                for i, m in enumerate(members):
-                    if m.output:
-                        m.output.write_frame(frames[i])
-                    peak = int(np.abs(pcm[i].astype(np.int32)).max())
-                    m.publish(peak, peak)
-                    m.frames_done += 1
+                state, out = enc.encode_superframes(state, pcm, pack=False)
                 audio_seconds += len(members) * nau * 960 / members[0].rate
+            prev = pending[ri]
+            pending[ri] = (out, pcm)
             runners[ri] = (kind, members, enc, packer, state)
+            if prev is not None:
+                pending[ri], keep = prev, pending[ri]
+                drain(ri)
+                pending[ri] = keep
         if realtime:
             time.sleep(0.001)
+    for ri in range(len(runners)):
+        drain(ri)
 
     dt = time.perf_counter() - t0
     for st in stations:

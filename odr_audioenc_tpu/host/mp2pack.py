@@ -22,6 +22,14 @@ class Mp2Packer:
         S = config.n_streams
         self._pending = [None] * S  # (bytearray frame, scf byte offset)
 
+    def take_pending(self, idx):
+        """Carry the one-frame ScF-CRC delay line across a churn rebuild."""
+        return [self._pending[i] for i in idx]
+
+    def put_pending(self, idx, rows):
+        for i, r in zip(idx, rows):
+            self._pending[i] = r
+
     def _pack_one(self, i, out, xpad):
         cfg = self.cfg
         bw = BitWriter()

@@ -158,6 +158,27 @@ class Mp2Encoder:
             state["psy2"] = psycho2.init_psy2_state(S * 2, self.dtype)
         return state
 
+    def take_state(self, state, idx):
+        """Extract per-stream state rows (stream churn: a station moving to a
+        rebuilt batch carries its state so its bitstream continues exactly).
+        idx: stream indices; psy-2 leaves are channel-major [2S, ...]."""
+        idx = np.asarray(idx)
+        out = {"hist": state["hist"][idx]}
+        if self.psy_model == 2:
+            idx2 = np.stack([2 * idx, 2 * idx + 1], 1).reshape(-1)
+            out["psy2"] = {k: v[idx2] for k, v in state["psy2"].items()}
+        return out
+
+    def put_state(self, state, idx, rows):
+        """Write rows (from take_state) at stream indices idx."""
+        idx = np.asarray(idx)
+        state = dict(state, hist=state["hist"].at[idx].set(rows["hist"]))
+        if self.psy_model == 2:
+            idx2 = np.stack([2 * idx, 2 * idx + 1], 1).reshape(-1)
+            state["psy2"] = {k: v.at[idx2].set(rows["psy2"][k])
+                             for k, v in state["psy2"].items()}
+        return state
+
     def next_padding(self):
         """Advance the padding-slot lag one frame; returns extra-slots [S]
         (available_bits, availbits.c:51-62; usepadbit TRUE, vbr FALSE)."""
