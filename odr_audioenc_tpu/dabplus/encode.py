@@ -24,6 +24,88 @@ from . import tables as AT
 NB = AT.MAX_SFB_LONG  # 49 padded bands
 N_OFFSETS = 10        # rate-loop coarse offsets (scan)
 SF_OFF_RANGE = 6      # coarse step = fine-pass width
+REFINE_ROUNDS = 0     # afterburner-style precision refinement rounds
+REFINE_BANDS = 4      # worst-NMR bands refined per round
+
+
+TNS_MAX_ORDER = 12      # LC long windows (14496-3 table 4.156)
+TNS_GAIN_THRESH = 1.41  # prediction gain >~ 1.5 dB (with transient gate)
+_TNS_IQFAC4 = (8.0 - 0.5) / (np.pi / 2.0)  # 4-bit arcsine quantizer
+
+
+def tns_analysis(spec, start, stop, dtype):
+    """Temporal noise shaping analysis over the static line range
+    [start, stop) (aacEnc TnsDetect/TnsSync analogue; syntax/inverse per
+    libAACdec aacdec_tns.cpp:142-380).
+
+    Levinson-Durbin on the spectral autocorrelation gives reflection
+    coefficients; they are arcsine-quantized at 4-bit resolution (the
+    decoder's FDKaacDec_tnsCoeff4 table is sin(idx/iqfac)), stepped up to
+    direct-form a(z), and the filter is enabled when the prediction gain
+    clears the threshold.  Returns (enable [...], order [...],
+    idx [..., 12] int32, a_hat [..., 12])."""
+    x = spec[..., start:stop]
+    L = stop - start
+    r = [(x * x).sum(-1)]
+    for k in range(1, TNS_MAX_ORDER + 1):
+        r.append((x[..., k:] * x[..., :L - k]).sum(-1))
+    r = jnp.stack(r, -1)
+    # mild Gaussian lag window stabilises the recursion on near-singular
+    # autocorrelations (same role as the reference's time-resolution window)
+    lag = jnp.asarray(np.exp(-0.5 * (np.pi * 0.01 *
+                                     np.arange(TNS_MAX_ORDER + 1)) ** 2), dtype)
+    r = r * lag
+    r0 = jnp.maximum(r[..., 0], 1e-30)
+
+    a = jnp.zeros(spec.shape[:-1] + (TNS_MAX_ORDER + 1,), dtype)
+    a = a.at[..., 0].set(1.0)
+    err = r0
+    ks = []
+    for m in range(1, TNS_MAX_ORDER + 1):
+        acc = sum(a[..., i] * r[..., m - i] for i in range(m))
+        k_m = -acc / jnp.maximum(err, 1e-30)
+        k_m = jnp.clip(k_m, -0.999, 0.999)
+        ks.append(k_m)
+        if m > 1:
+            flip = jnp.stack([a[..., m - i] for i in range(1, m)], -1)
+            a = a.at[..., 1:m].set(a[..., 1:m] + k_m[..., None] * flip)
+        a = a.at[..., m].set(k_m)
+        err = err * (1.0 - k_m * k_m)
+    pred_gain = r0 / jnp.maximum(err, 1e-30)
+
+    k = jnp.stack(ks, -1)                                   # [..., 12]
+    idx = jnp.clip(jnp.round(jnp.arcsin(k) * _TNS_IQFAC4), -8, 7).astype(jnp.int32)
+    khat = jnp.sin(idx.astype(dtype) / _TNS_IQFAC4)
+    # order = index of last non-zero quantized coefficient + 1
+    nz = idx != 0
+    order = jnp.where(nz.any(-1),
+                      TNS_MAX_ORDER - jnp.argmax(nz[..., ::-1], -1), 0)
+    enable = (pred_gain > TNS_GAIN_THRESH) & (order > 0)
+    idx = jnp.where(jnp.arange(TNS_MAX_ORDER) < order[..., None], idx, 0)
+
+    # step-up with the QUANTIZED reflection coefficients (what the decoder
+    # inverts) to direct-form a[1..12]
+    ah = jnp.zeros_like(a).at[..., 0].set(1.0)
+    for m in range(1, TNS_MAX_ORDER + 1):
+        k_m = khat[..., m - 1]
+        if m > 1:
+            flip = jnp.stack([ah[..., m - i] for i in range(1, m)], -1)
+            ah = ah.at[..., 1:m].set(ah[..., 1:m] + k_m[..., None] * flip)
+        ah = ah.at[..., m].set(k_m)
+    return enable, order.astype(jnp.int32), idx, ah[..., 1:]
+
+
+def tns_filter(spec, a_hat, enable, start, stop):
+    """Apply the analysis filter A(z) = 1 + sum a_k z^-k forward over the
+    line range with zero history (the decoder clears its lattice state,
+    aacdec_tns.cpp:369)."""
+    x = spec[..., start:stop]
+    y = x
+    for k in range(1, TNS_MAX_ORDER + 1):
+        xd = jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
+        y = y + a_hat[..., k - 1:k] * xd
+    y = jnp.where(enable[..., None], y, x)
+    return jnp.concatenate([spec[..., :start], y, spec[..., stop:]], axis=-1)
 
 
 def mdct_frame(prev, cur, basis, dtype):
@@ -93,7 +175,7 @@ _LEN_PAIR910 = np.stack([AT.HUFF_LEN[9].reshape(-1), AT.HUFF_LEN[10].reshape(-1)
 _LEN_PAIR11 = AT.HUFF_LEN[11].reshape(-1)
 
 
-def spectral_bits_and_books(q, band_of_line, max_sfb, dtype):
+def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
     """Per-band best codebook + bit cost (bit_cnt.cpp re-expression).
 
     q: [..., 960] int32.  Returns (books [..., NB], bits [..., NB]).
@@ -170,11 +252,59 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype):
     bandsel = jnp.arange(NB) < max_sfb[..., None]
     big = jnp.asarray(1 << 20, jnp.int32)
     cost = jnp.where(ok, bits, big)
+    if return_cost:
+        # caller runs the sectioning DP on this; per-band argmin is a safe
+        # upper bound used inside the rate loop
+        return cost, bandsel
     books = jnp.argmin(cost, axis=-1).astype(jnp.int32)
     bbits = jnp.min(cost, axis=-1)
     books = jnp.where(bandsel, books, 0)
     bbits = jnp.where(bandsel, bbits, 0)
     return books, bbits
+
+
+SECT_BITS = 4 + 5  # sect_cb + sect_len per section header
+
+
+def optimal_books(cost, bandsel):
+    """Jointly optimal per-band codebooks under sectioning (dyn_bits.cpp
+    noiseless-coder analogue): DP over bands where staying in the previous
+    section is free and starting a new one costs a section header.  Merging
+    can pick a non-minimal book for a band when that saves more header bits
+    than it costs in spectrum bits.
+
+    cost: [..., NB, 12] per-band per-book spectral bits (invalid = big).
+    Returns books [..., NB] int32."""
+    nbk = cost.shape[-1]
+    dp0 = cost[..., 0, :] + SECT_BITS
+
+    def fwd(dp, xs):
+        c_b, sel_b = xs  # [..., 12], [..., 1]
+        best = dp.min(-1, keepdims=True)
+        bestj = dp.argmin(-1).astype(jnp.int32)
+        new = best + SECT_BITS
+        stayed = dp <= new
+        dp2 = c_b + jnp.minimum(dp, new)
+        dp2 = jnp.where(sel_b, dp2, dp)  # beyond max_sfb: carry through
+        return dp2, (stayed, bestj)
+
+    cost_t = jnp.moveaxis(cost, -2, 0)           # [NB, ..., 12]
+    sel_t = jnp.moveaxis(bandsel, -1, 0)[..., None]
+    dpF, (stayed, bestj) = jax.lax.scan(fwd, dp0, (cost_t[1:], sel_t[1:]))
+
+    kT = dpF.argmin(-1).astype(jnp.int32)
+
+    def bwd(k, xs):
+        stayed_b, bestj_b, sel_b = xs
+        stay_k = (stayed_b * jax.nn.one_hot(k, nbk, dtype=jnp.int32)).sum(-1) > 0
+        k_prev = jnp.where(stay_k, k, bestj_b)
+        k_prev = jnp.where(sel_b[..., 0], k_prev, k)
+        return k_prev, k
+
+    k0, books_rev = jax.lax.scan(bwd, kT, (stayed, bestj, sel_t[1:]),
+                                 reverse=True)
+    books = jnp.concatenate([k0[None], books_rev], axis=0)  # [NB, ...]
+    return jnp.moveaxis(books, 0, -1)
 
 
 def side_info_bits(books, gains, max_sfb, dtype):
@@ -237,19 +367,39 @@ def ms_transform(spec, band_m, bol, max_sfb, dtype):
     return out, use
 
 
-def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
+def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
+              tns_cfg=None, transient=None):
     """Rate-controlled quantization of one AU for all streams.
 
     spec: [S, ch, 960]; budget_bits: [S].
     Returns dict(q [S,ch,960], gains [S,ch,NB], books [S,ch,NB], bits [S],
     ms_used [S, NB])."""
+    # TNS first: the decoder applies MS reconstruction before TNS synthesis,
+    # so the encoder filters L/R before the MS transform
+    S, n_ch_s, _ = spec.shape
+    if tns_cfg is not None:
+        tns_en, tns_order, tns_idx, ah = tns_analysis(
+            spec, tns_cfg["start_line"], tns_cfg["stop_line"], dtype)
+        if transient is not None:
+            # steady harmonic spectra also show high spectral prediction
+            # gain, but shaping noise into their (flat) temporal envelope
+            # only hurts - gate on a real time-domain attack
+            tns_en = tns_en & transient
+        spec = tns_filter(spec, ah, tns_en, tns_cfg["start_line"],
+                          tns_cfg["stop_line"])
+        tns_bits = jnp.where(tns_en, 16 + 4 * tns_order, 0)  # [S, ch]
+    else:
+        tns_en = jnp.zeros((S, n_ch_s), bool)
+        tns_order = jnp.zeros((S, n_ch_s), jnp.int32)
+        tns_idx = jnp.zeros((S, n_ch_s, TNS_MAX_ORDER), jnp.int32)
+        tns_bits = jnp.zeros((S, n_ch_s), jnp.int32)
+
     ms_used = jnp.zeros(spec.shape[:1] + (NB,), bool)
     if spec.shape[1] == 2:
         spec, ms_used = ms_transform(spec, band_m, bol, max_sfb, dtype)
     en = band_energy(spec, band_m)
     thr = spread_thresholds(en, pt, dtype)
     scf0 = estimate_scf(jnp.abs(spec), thr, band_m, dtype)
-
     ics_fixed = 11  # ics_info bits (shared when CPE common_window)
     # CPE: +1 common_window, +2 ms_mask_present, +max_sfb ms_used bits
     elem_fixed = jnp.where(n_ch == 2,
@@ -267,7 +417,30 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
     mag075 = jnp.power(jnp.abs(spec), 0.75)
     neg = spec < 0
 
-    def try_offset(o):
+    def count_for_gains(gains, use_dp=True):
+        """Quantize + exact bit count at explicit per-band gains.  With
+        use_dp the sectioning DP (dyn_bits analogue) finds jointly-optimal
+        codebooks; without it the per-band argmin is a safe upper bound
+        (used in the coarse bracket pass only)."""
+        scale = jnp.exp2(-0.1875 * gains.astype(dtype))[..., bol]
+        q = jnp.clip(jnp.floor(mag075 * scale + 0.4054).astype(jnp.int32), 0, 8191)
+        q = jnp.where(neg, -q, q)
+        if use_dp:
+            cost, bsel = spectral_bits_and_books(q, bol, max_sfb[:, None],
+                                                 dtype, return_cost=True)
+            books = optimal_books(cost, bsel)
+            bbits = jnp.take_along_axis(cost, books[..., None], -1)[..., 0]
+            books = jnp.where(bsel, books, 0)
+            bbits = jnp.where(bsel, bbits, 0)
+        else:
+            books, bbits = spectral_bits_and_books(q, bol, max_sfb[:, None], dtype)
+        side = side_info_bits(books, gains, max_sfb[:, None], dtype)
+        ch_bits = (bbits.sum(-1) + side + tns_bits)  # [S, ch]
+        total = ch_bits.sum(-1) + elem_fixed + 3  # + ID_END
+        total = total + 7  # byte-align worst case
+        return total, q, books
+
+    def try_offset(o, use_dp=True):
         o = jnp.asarray(o)
         if o.ndim == 1:  # per-stream offsets in the fine pass
             o = o[:, None, None]
@@ -275,19 +448,12 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
         # clamp gains into a window of the per-channel max so dpcm stays legal
         gmax = gains.max(-1, keepdims=True)
         gains = jnp.clip(gains, gmax - 60, gmax)
-        scale = jnp.exp2(-0.1875 * gains.astype(dtype))[..., bol]
-        q = jnp.clip(jnp.floor(mag075 * scale + 0.4054).astype(jnp.int32), 0, 8191)
-        q = jnp.where(neg, -q, q)
-        books, bbits = spectral_bits_and_books(q, bol, max_sfb[:, None], dtype)
-        side = side_info_bits(books, gains, max_sfb[:, None], dtype)
-        ch_bits = (bbits.sum(-1) + side)  # [S, ch]
-        total = ch_bits.sum(-1) + elem_fixed + 3  # + ID_END
-        total = total + 7  # byte-align worst case
+        total, q, books = count_for_gains(gains, use_dp)
         return total, (q, gains, books)
 
     # coarse pass over wide offsets, then a fine pass around the winner
     def scan_coarse(_, o):
-        t, _ = try_offset(o)
+        t, _ = try_offset(o, use_dp=False)  # upper bound: brackets safely
         return None, t
 
     coarse = jnp.arange(N_OFFSETS) * SF_OFF_RANGE - SF_OFF_RANGE
@@ -316,5 +482,37 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype):
     gains = pick(gainss)
     books = pick(bookss)
     bits = jnp.take_along_axis(totals, choice[:, None], 1)[:, 0]
+
+    # afterburner-style refinement (aacenc_lib afterburner analogue): spend
+    # leftover budget by adding precision (gain-1) to the bands with the
+    # worst measured noise-to-masking ratio, keeping only rounds that still
+    # fit the budget exactly
+    x_abs = jnp.abs(spec)
+    bandsel = jnp.arange(NB) < max_sfb[:, None, None]
+    thr_f = jnp.maximum(thr, 1e-10)
+
+    def refine(carry, _):
+        q, gains, books, bits = carry
+        deq = jnp.power(jnp.abs(q).astype(dtype), 4.0 / 3.0) * \
+            jnp.exp2(0.25 * gains.astype(dtype))[..., bol]
+        err = (x_abs - deq) ** 2
+        nmr = (err @ band_m.T) / thr_f
+        gmax = gains.max(-1, keepdims=True)
+        can = bandsel & (gains > gmax - 60)
+        nmr = jnp.where(can, nmr, -jnp.inf)
+        _, ti = jax.lax.top_k(nmr, REFINE_BANDS)  # [S, ch, K]
+        dec = (ti[..., None] == jnp.arange(NB)).any(-2)
+        gains2 = gains - dec
+        total2, q2, books2 = count_for_gains(gains2)
+        ok = (total2 <= budget_bits)[:, None, None]  # [S,1,1]
+        return (jnp.where(ok, q2, q),
+                jnp.where(ok, gains2, gains),
+                jnp.where(ok, books2, books),
+                jnp.where(ok[:, 0, 0], total2, bits)), None
+
+    if REFINE_ROUNDS:
+        (q, gains, books, bits), _ = jax.lax.scan(
+            refine, (q, gains, books, bits), None, length=REFINE_ROUNDS)
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
-                ms_used=ms_used)
+                ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
+                tns_idx=tns_idx)

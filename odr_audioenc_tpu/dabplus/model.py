@@ -81,9 +81,27 @@ class DabPlusEncoder:
             self.ds_filter = jnp.asarray(h, dtype)
         else:
             self.sbr_params = None
-            bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.18)
+            bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.24)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
+        # TNS static config: filter range [start line, stop line) and the
+        # length code written in tns_data (decoder: StartBand = total - length,
+        # stop clamped to min(total, tns_max_bands, max_sfb),
+        # aacdec_tns.cpp:180-348 + tns_max_bands_tbl aac_rom.cpp:3179)
+        _TNS_MAX = {96000: 31, 88200: 31, 64000: 34, 48000: 40, 44100: 42,
+                    32000: 51, 24000: 46, 22050: 46, 16000: 42}
+        total_sfb = self.nbands
+        line_min = int(np.ceil(1275.0 * 2 * AT.N / rate))
+        start_band = int(np.searchsorted(self.sfb_off, line_min))
+        stop_band = min(total_sfb, _TNS_MAX.get(rate, 40), self.max_sfb)
+        if stop_band - start_band >= 4:
+            self.tns_cfg = {
+                "start_line": int(self.sfb_off[start_band]),
+                "stop_line": int(self.sfb_off[stop_band]),
+                "length_code": total_sfb - start_band,
+            }
+        else:
+            self.tns_cfg = None
         self.packer = SuperframePacker(cfg.subch, cfg.sample_rate,
                                        self.core_channels, sbr=self.is_sbr,
                                        ps=self.is_ps)
@@ -146,11 +164,18 @@ class DabPlusEncoder:
             leftover = carry
             prev, cur = xs
             spec = E.mdct_frame(prev, cur, self.basis, self.dtype)
+            # time-domain transience over 8 sub-blocks of the granule (the
+            # TNS gate; tns_detect-style attack measure)
+            sub = cur.reshape(cur.shape[0], cur.shape[1], 8, AT.N // 8)
+            se = (sub * sub).sum(-1)
+            transient = se.max(-1) > 6.0 * (se.mean(-1) + 1.0)
             o = E.encode_au(spec, self.pt, self.band_m, self.bol,
-                            max_sfb, budget + leftover, nch, self.dtype)
+                            max_sfb, budget + leftover, nch, self.dtype,
+                            tns_cfg=self.tns_cfg, transient=transient)
             leftover = jnp.maximum(budget + leftover - o["bits"], 0).astype(jnp.int32)
             return leftover, {k: o[k] for k in
-                              ["q", "gains", "books", "bits", "ms_used"]}
+                              ["q", "gains", "books", "bits", "ms_used",
+                               "tns_en", "tns_order", "tns_idx"]}
 
         _, out = jax.lax.scan(au_body, jnp.zeros((S,), jnp.int32), (prevs, grans))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
@@ -192,10 +217,17 @@ class DabPlusEncoder:
         for s in range(self.S):
             aus = []
             for a in range(self.cfg.num_aus):
+                tns = None
+                if self.tns_cfg is not None:
+                    tns = [(bool(out["tns_en"][s, a, c]),
+                            int(out["tns_order"][s, a, c]),
+                            out["tns_idx"][s, a, c],
+                            self.tns_cfg["length_code"])
+                           for c in range(self.core_channels)]
                 bw = write_au(out["q"][s, a], out["gains"][s, a],
                               out["books"][s, a], self.max_sfb,
                               self.sfb_off, self.core_channels,
-                              ms_used=out["ms_used"][s, a])
+                              ms_used=out["ms_used"][s, a], tns=tns)
                 if pads is not None and pads[s][a]:
                     from ..host.aacpack import write_dse
                     write_dse(bw, pads[s][a])

@@ -73,8 +73,22 @@ def _write_spectrum(bw, q, book, lo, hi):
                     bw.put((((1 << (n - 3)) - 2) << n) | (a - (1 << n)), 2 * n - 3)
 
 
-def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info):
-    """individual_channel_stream (long window, no pulse/tns/gain_control)."""
+def _write_tns_data(bw, order, coefs, length_code):
+    """tns_data(), long window, one filter (14496-3; parsed by the reference
+    decoder at aacdec_tns.cpp:142-240): n_filt=1, coef_res=1 (4-bit),
+    forward direction, no compression."""
+    bw.put(1, 2)                 # n_filt
+    bw.put(1, 1)                 # coef_res -> resolution 4
+    bw.put(length_code, 6)       # length (bands, from the top)
+    bw.put(order, 5)             # order
+    bw.put(0, 1)                 # direction: forward
+    bw.put(0, 1)                 # coef_compress
+    for i in range(order):
+        bw.put(int(coefs[i]) & 0xF, 4)
+
+
+def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None):
+    """individual_channel_stream (long window, no pulse/gain_control)."""
     nz = [b for b in range(max_sfb) if books[b] > 0]
     global_gain = int(gains[nz[0]]) + 100 if nz else 100
     global_gain = min(max(global_gain, 0), 255)
@@ -102,7 +116,11 @@ def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info):
         bw.put(int(AT.HUFF_CODE_SCF[delta + 60]), int(AT.HUFF_LEN_SCF[delta + 60]))
         prev = int(gains[b])
     bw.put(0, 1)  # pulse_data_present
-    bw.put(0, 1)  # tns_data_present
+    if tns is not None and tns[0]:
+        bw.put(1, 1)  # tns_data_present
+        _write_tns_data(bw, tns[1], tns[2], tns[3])
+    else:
+        bw.put(0, 1)  # tns_data_present
     bw.put(0, 1)  # gain_control_data_present
     # spectral_data
     for b in range(max_sfb):
@@ -118,14 +136,16 @@ def _write_ics_info(bw, max_sfb):
     bw.put(0, 1)        # predictor_data_present
 
 
-def write_au(q, gains, books, max_sfb, sfb_off, n_ch, ms_used=None):
-    """q: [ch, 960] int; gains/books: [ch, NB]; ms_used: [NB] bool or None.
+def write_au(q, gains, books, max_sfb, sfb_off, n_ch, ms_used=None, tns=None):
+    """q: [ch, 960] int; gains/books: [ch, NB]; ms_used: [NB] bool or None;
+    tns: per-channel (enabled, order, coef indices, length_code) or None.
     Returns the AU's BitWriter (content bits only - no END/align/CRC)."""
     bw = BitWriter()
     if n_ch == 1:
         bw.put(0, 3)  # id_syn_ele SCE
         bw.put(0, 4)  # instance tag
-        _write_ics(bw, q[0], gains[0], books[0], max_sfb, sfb_off, include_info=True)
+        _write_ics(bw, q[0], gains[0], books[0], max_sfb, sfb_off,
+                   include_info=True, tns=tns[0] if tns else None)
     else:
         bw.put(1, 3)  # CPE
         bw.put(0, 4)
@@ -136,7 +156,7 @@ def write_au(q, gains, books, max_sfb, sfb_off, n_ch, ms_used=None):
             bw.put(1 if (ms_used is not None and ms_used[b]) else 0, 1)
         for c in range(2):
             _write_ics(bw, q[c], gains[c], books[c], max_sfb, sfb_off,
-                       include_info=False)
+                       include_info=False, tns=tns[c] if tns else None)
     return bw
 
 
