@@ -153,16 +153,56 @@ class Mp2Packer:
         scf_off = len(frame_bytes) - 2 - dab_ext
         return frame_bytes, scf_off, scf_vals
 
-    def emit(self, out, xpads=None):
+    def _cfg_cols(self):
+        """Per-stream config columns for the native packer."""
+        if not hasattr(self, "_cc"):
+            c = self.cfg
+            self._cc = np.stack([
+                c.version, c.bitrate_idx, c.sfreq_idx, c.nch, c.sblimit,
+                c.tablenum, c.dab_ext, c.dab_length, c.lg_frame,
+            ], axis=1).astype(np.int32)
+        return self._cc
+
+    def _pack_all_native(self, out, xpads):
+        """Batch-pack all streams via the C++ library (native/mp2pack.cpp);
+        None if the library is unavailable."""
+        from . import native
+        if native.get_lib() is None:
+            return None
+        xp = None
+        if xpads:
+            xp = []
+            for x in xpads:
+                if x is None:
+                    xp.append((b"", 0))
+                elif isinstance(x, tuple):
+                    xp.append(x)
+                else:
+                    xp.append((x, len(x) if x else 0))
+        max_frame = int((self.cfg.lg_frame + 1).max())
+        res = native.mp2_pack_batch(self._cfg_cols(), out, xp, max_frame)
+        if res is None:
+            return None
+        frames, lens, offs, vals = res
+        dab_ext = self.cfg.dab_ext
+        return [(bytearray(frames[i, :lens[i]].tobytes()), int(offs[i]),
+                 list(vals[i, :int(dab_ext[i])]))
+                for i in range(self.cfg.n_streams)]
+
+    def emit(self, out, xpads=None, use_native=True):
         """out: device outputs as numpy (dict of [S, ...] arrays).
         xpads: optional list of per-stream xpad byte buffers (length
         dab_length each) or None.  Returns list of per-stream bytes emitted
         for this call (the previous frame, patched)."""
         S = self.cfg.n_streams
+        packed = self._pack_all_native(out, xpads) if use_native else None
         emitted = []
         for i in range(S):
             xpad = xpads[i] if xpads else None
-            frame, scf_off, scf_vals = self._pack_one(i, out, xpad)
+            if packed is not None:
+                frame, scf_off, scf_vals = packed[i]
+            else:
+                frame, scf_off, scf_vals = self._pack_one(i, out, xpad)
             prev = self._pending[i]
             if prev is None:
                 emitted.append(b"")

@@ -1,0 +1,100 @@
+"""ctypes bindings for the native host library (odr_audioenc_tpu/native/).
+
+The C++ packers are the production path (the reference's equivalent code is
+C/C++: libtoolame-dab/bitstream.c, encode_new.c write_*); the pure-Python
+implementations in mp2pack.py remain as the validation fallback and are
+equivalence-tested against the native ones.  The library is built on first
+use (g++ is assumed present; failure falls back to Python silently).
+"""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native")
+_LIB = None
+_TRIED = False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_DIR, "libodrhost.so")
+    try:
+        src = os.path.join(_DIR, "mp2pack.cpp")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run([os.path.join(_DIR, "build.sh")], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.mp2_pack_batch.restype = ctypes.c_int
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _p(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def mp2_pack_batch(cfg_cols, out_np, xpads, max_frame):
+    """Batch-pack S MP2 frames.  cfg_cols: [S, 9] int32 config columns;
+    out_np: device outputs as numpy; xpads: None or list of per-stream
+    (buf, used_len).  Returns (frames u8 [S, max_frame], lens [S],
+    scf_offs [S], scf_vals [S, 4]) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    S = cfg_cols.shape[0]
+    ba = np.ascontiguousarray(out_np["bit_alloc"], np.uint8)
+    sc = np.ascontiguousarray(out_np["scfsi"], np.uint8)
+    sf = np.ascontiguousarray(out_np["sf_index"], np.uint8)
+    sb = np.ascontiguousarray(out_np["sbband"], np.uint32)
+    mode = np.ascontiguousarray(out_np["mode"], np.int32)
+    mext = np.ascontiguousarray(out_np["mode_ext"], np.int32)
+    jsb = np.ascontiguousarray(out_np["jsbound"], np.int32)
+    adbl = np.ascontiguousarray(out_np["adb_left"], np.int32)
+    if "extra" in out_np:
+        extra = np.ascontiguousarray(out_np["extra"], np.int32)
+        extra_p = _p(extra, ctypes.c_int32)
+    else:
+        extra_p = None
+    if xpads is not None:
+        stride = max(len(b) for b, _ in xpads) if xpads else 1
+        stride = max(stride, 1)
+        xbuf = np.zeros((S, stride), np.uint8)
+        xlen = np.zeros(S, np.int32)
+        for i, (b, ln) in enumerate(xpads):
+            if len(b):
+                xbuf[i, :len(b)] = np.frombuffer(bytes(b), np.uint8)
+            xlen[i] = ln
+        xb_p, xl_p = _p(xbuf, ctypes.c_uint8), _p(xlen, ctypes.c_int32)
+    else:
+        stride = 1
+        xb_p, xl_p = None, None
+
+    out = np.zeros((S, max_frame), np.uint8)
+    out_len = np.zeros(S, np.int32)
+    scf_off = np.zeros(S, np.int32)
+    scf_vals = np.zeros((S, 4), np.uint8)
+    rc = lib.mp2_pack_batch(
+        ctypes.c_int(S),
+        _p(ba, ctypes.c_uint8), _p(sc, ctypes.c_uint8), _p(sf, ctypes.c_uint8),
+        _p(sb, ctypes.c_uint32), _p(mode, ctypes.c_int32),
+        _p(mext, ctypes.c_int32), _p(jsb, ctypes.c_int32),
+        _p(adbl, ctypes.c_int32), extra_p,
+        _p(np.ascontiguousarray(cfg_cols, np.int32), ctypes.c_int32),
+        xb_p, xl_p, ctypes.c_int(stride),
+        _p(out, ctypes.c_uint8), ctypes.c_int(max_frame),
+        _p(out_len, ctypes.c_int32), _p(scf_off, ctypes.c_int32),
+        _p(scf_vals, ctypes.c_uint8))
+    if rc != 0:
+        raise RuntimeError("native mp2_pack_batch failed (budget overrun or "
+                           "frame length mismatch)")
+    return out, out_len, scf_off, scf_vals
