@@ -207,12 +207,19 @@ class DabPlusEncoder:
             return state, out
         return state, self.pack_superframes(out, add_rs=add_rs, pads=pads)
 
-    def pack_superframes(self, out, add_rs=None, pads=None):
-        """Host half of encode_superframes (AU syntax + superframe + RS)."""
+    def pack_superframes(self, out, add_rs=None, pads=None, use_native=True):
+        """Host half of encode_superframes (AU syntax + superframe + RS).
+        Uses the C++ batch packer (native/dabpack.cpp) when available; the
+        Python writer below is the validation fallback."""
         from . import sbr as SBR
         if add_rs is None:
             add_rs, pads = getattr(self, "_pack_args", (True, None))
         out = {k: np.asarray(v) for k, v in out.items()}
+        if use_native:
+            from ..host import native
+            frames = native.dabplus_pack_batch(self, out, pads, add_rs)
+            if frames is not None:
+                return frames
         frames = []
         for s in range(self.S):
             aus = []

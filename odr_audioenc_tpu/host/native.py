@@ -98,3 +98,82 @@ def mp2_pack_batch(cfg_cols, out_np, xpads, max_frame):
         raise RuntimeError("native mp2_pack_batch failed (budget overrun or "
                            "frame length mismatch)")
     return out, out_len, scf_off, scf_vals
+
+
+def dabplus_pack_batch(enc, out_np, pads, add_rs):
+    """Batch-pack S DAB+ superframes via the native library; None if
+    unavailable.  enc: DabPlusEncoder (static config source)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "dabplus_pack_batch"):
+        return None
+    S = out_np["q"].shape[0]
+    nau = enc.cfg.num_aus
+    ch = enc.core_channels
+    nb = out_np["books"].shape[-1]
+    q = np.ascontiguousarray(out_np["q"], np.int32)
+    gains = np.ascontiguousarray(out_np["gains"], np.int32)
+    books = np.ascontiguousarray(out_np["books"], np.int32)
+    ms = np.ascontiguousarray(out_np["ms_used"], np.uint8) \
+        if "ms_used" in out_np else None
+    tns_en = np.ascontiguousarray(out_np["tns_en"], np.uint8)
+    tns_order = np.ascontiguousarray(out_np["tns_order"], np.int32)
+    tns_idx = np.ascontiguousarray(out_np["tns_idx"], np.int32)
+    tlc = enc.tns_cfg["length_code"] if enc.tns_cfg else 0
+    sfb_off = np.ascontiguousarray(enc.sfb_off, np.int32)
+
+    if enc.is_sbr:
+        p = enc.sbr_params
+        env = np.ascontiguousarray(out_np["sbr_env"][:, :, 0], np.int32)
+        sbrp = np.asarray([p.bs_start_freq, p.bs_stop_freq, p.bs_xover_band,
+                           p.bs_freq_scale, p.bs_alter_scale, p.bs_noise_bands,
+                           p.n_q, p.n_lo, 12], np.int32)
+        env_p = _p(env, ctypes.c_int32)
+    else:
+        sbrp = np.asarray([0] * 8 + [12], np.int32)
+        env_p = None
+    if enc.is_ps and "ps_iid" in out_np:
+        iid = np.ascontiguousarray(out_np["ps_iid"], np.int32)
+        iid_p = _p(iid, ctypes.c_int32)
+    else:
+        iid_p = None
+
+    if pads is not None:
+        stride = max(1, max((len(pads[s][a]) if pads[s][a] else 0)
+                            for s in range(S) for a in range(nau)))
+        pbuf = np.zeros((S, nau, stride), np.uint8)
+        plen = np.zeros((S, nau), np.int32)
+        for s in range(S):
+            for a in range(nau):
+                b = pads[s][a]
+                if b:
+                    pbuf[s, a, :len(b)] = np.frombuffer(bytes(b), np.uint8)
+                    plen[s, a] = len(b)
+        pb_p, pl_p = _p(pbuf, ctypes.c_uint8), _p(plen, ctypes.c_int32)
+    else:
+        stride = 1
+        pb_p, pl_p = None, None
+
+    pk = enc.packer
+    sfp = np.asarray([pk.subch, pk.dac_rate, pk.sbr, pk.ps, pk.ch_mode,
+                      1 if add_rs else 0], np.int32)
+    out_stride = pk.subch * (120 if add_rs else 110)
+    out = np.zeros((S, out_stride), np.uint8)
+    out_len = np.zeros(S, np.int32)
+    rc = lib.dabplus_pack_batch(
+        ctypes.c_int(S), ctypes.c_int(nau), ctypes.c_int(ch),
+        ctypes.c_int(enc.max_sfb), ctypes.c_int(nb),
+        _p(sfb_off, ctypes.c_int32),
+        _p(q, ctypes.c_int32), _p(gains, ctypes.c_int32),
+        _p(books, ctypes.c_int32),
+        _p(ms, ctypes.c_uint8) if ms is not None else None,
+        _p(tns_en, ctypes.c_uint8), _p(tns_order, ctypes.c_int32),
+        _p(tns_idx, ctypes.c_int32), ctypes.c_int(tlc),
+        env_p, iid_p, pb_p, pl_p, ctypes.c_int(stride),
+        _p(sbrp, ctypes.c_int32), _p(sfp, ctypes.c_int32),
+        _p(out, ctypes.c_uint8), ctypes.c_int(out_stride),
+        _p(out_len, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError("native dabplus_pack_batch failed (overflow)")
+    return [out[s, :out_len[s]].tobytes() for s in range(S)]
