@@ -141,8 +141,6 @@ def run_single(args):
             aot = "sbr"
         else:
             aot = "lc"
-        if aot == "sbr" and channels == 2:
-            aot = "lc"  # stereo (non-PS) SBR not yet implemented
         cfg = DabPlusConfig(args.rate, subch, channels, aot=aot,
                             pad_len=args.pad if args.pad_socket else 0)
         enc = DabPlusEncoder(cfg, 1)

@@ -57,11 +57,11 @@ class DabPlusEncoder:
         rate = cfg.core_rate
         self.is_sbr = cfg.aot in ("sbr", "ps")
         self.is_ps = cfg.aot == "ps"
-        if cfg.aot == "sbr" and cfg.channels != 1:
-            raise NotImplementedError("HE-AAC (non-PS) currently supports mono only")
         if self.is_ps and cfg.channels != 2:
             raise ValueError("HE-AAC v2 (PS) requires stereo input")
-        self.core_channels = 1 if self.is_sbr else cfg.channels
+        # PS downmixes to mono; plain SBR keeps the channel count (stereo
+        # SBR = CPE core + sbr_channel_pair_element)
+        self.core_channels = 1 if self.is_ps else cfg.channels
         self.basis = jnp.asarray(AT.mdct_matrix(), dtype)
         self.band_m = jnp.asarray(AT.band_matrix(rate), dtype)
         self.bol = jnp.asarray(AT.band_of_line(rate))
@@ -106,7 +106,7 @@ class DabPlusEncoder:
                                        self.core_channels, sbr=self.is_sbr,
                                        ps=self.is_ps)
         payload = self.packer.payload_bits()
-        self.sbr_bits_est = 200 if self.is_sbr else 0
+        self.sbr_bits_est = (200 * self.core_channels) if self.is_sbr else 0
         pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
         self.budget_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
         self._step = jax.jit(self._superframe_step)
@@ -239,10 +239,12 @@ class DabPlusEncoder:
                     from ..host.aacpack import write_dse
                     write_dse(bw, pads[s][a])
                 if self.is_sbr:
+                    env = out["sbr_env"][s, a]
                     SBR.write_sbr_payload(
-                        bw, out["sbr_env"][s, a, 0], noise_val=12,
+                        bw, env[0], noise_val=12,
                         params=self.sbr_params,
-                        ps_iid=out["ps_iid"][s, a] if self.is_ps else None)
+                        ps_iid=out["ps_iid"][s, a] if self.is_ps else None,
+                        env_vals_r=env[1] if (self.core_channels == 2) else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return frames

@@ -171,12 +171,46 @@ def _write_ps_data(bw, iid_idx):
     return len(bw.buf) * 8 + bw.nbits - n0
 
 
-def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True,
-                      ps_iid=None):
-    """Append a FIL element with EXT_SBR_DATA carrying one SCE SBR frame.
+def _write_grid_dtdf(sbr):
+    """FIXFIX 1-envelope grid + dtdf for one channel."""
+    sbr.put(0, 2)                         # bs_frame_class FIXFIX
+    sbr.put(0, 2)                         # ceil(log2(num_env=1))
+    sbr.put(0, 1)                         # bs_freq_res[0] = low resolution
 
-    bw_target: the AU BitWriter (after the SCE).  env_vals: [n_lo] ints;
-    noise_val: int 0..31; ps_iid: [10] coarse IID indices or None."""
+
+def _write_dtdf(sbr):
+    sbr.put(0, 1)                         # bs_df_env[0] = FREQ
+    sbr.put(0, 1)                         # bs_df_noise[0] = FREQ
+
+
+def _write_invf(sbr, params):
+    for _ in range(params.n_q):
+        sbr.put(1, 2)                     # bs_invf_mode = LOW_LEVEL
+
+
+def _write_env(sbr, env_vals, params):
+    """envelope, FREQ delta coding (amp-res 1.5 forced for FIXFIX 1-env)."""
+    v0 = int(env_vals[0])
+    sbr.put(v0, 7)
+    prev = v0
+    for i in range(1, params.n_lo):
+        d = int(env_vals[i]) - prev
+        d = max(-60, min(60, d))
+        sbr.put(int(ENV_CODE_F[d + 60]), int(ENV_LEN_F[d + 60]))
+        prev = prev + d
+
+
+def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True,
+                      ps_iid=None, env_vals_r=None):
+    """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
+
+    bw_target: the AU BitWriter (after the SCE/CPE).  env_vals: [n_lo] ints;
+    noise_val: int 0..31; ps_iid: [10] coarse IID indices or None;
+    env_vals_r: right-channel envelope for stereo (non-PS) SBR - emits the
+    sbr_channel_pair_element layout the reference decoder parses at
+    env_extr.cpp:617-820 (coupling off: grids, dtdfs, invfs, env L, env R,
+    noise L, noise R, add-harmonic flags)."""
+    cpe = env_vals_r is not None
     sbr = BitWriter()
     sbr.put(1 if write_header else 0, 1)  # bs_header_flag
     if write_header:
@@ -190,27 +224,28 @@ def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True,
         sbr.put(params.bs_freq_scale, 2)
         sbr.put(params.bs_alter_scale, 1)
         sbr.put(params.bs_noise_bands, 2)
-    # sbr_single_channel_element
     sbr.put(0, 1)                         # bs_data_extra
-    sbr.put(0, 2)                         # bs_frame_class FIXFIX
-    sbr.put(0, 2)                         # ceil(log2(num_env=1))
-    sbr.put(0, 1)                         # bs_freq_res[0] = low resolution
-    sbr.put(0, 1)                         # bs_df_env[0] = FREQ
-    sbr.put(0, 1)                         # bs_df_noise[0] = FREQ
-    for _ in range(params.n_q):
-        sbr.put(1, 2)                     # bs_invf_mode = LOW_LEVEL
-    # envelope (FREQ delta coding, amp-res 1.5 forced for FIXFIX 1-env)
-    v0 = int(env_vals[0])
-    sbr.put(v0, 7)
-    prev = v0
-    for i in range(1, params.n_lo):
-        d = int(env_vals[i]) - prev
-        d = max(-60, min(60, d))
-        sbr.put(int(ENV_CODE_F[d + 60]), int(ENV_LEN_F[d + 60]))
-        prev = prev + d
-    # noise floor (one band, one env)
-    sbr.put(int(noise_val), 5)
-    sbr.put(0, 1)                         # bs_add_harmonic_flag
+    if cpe:
+        sbr.put(0, 1)                     # bs_coupling off
+        _write_grid_dtdf(sbr)             # grid L
+        _write_grid_dtdf(sbr)             # grid R
+        _write_dtdf(sbr)                  # dtdf L
+        _write_dtdf(sbr)                  # dtdf R
+        _write_invf(sbr, params)          # invf L
+        _write_invf(sbr, params)          # invf R
+        _write_env(sbr, env_vals, params)
+        _write_env(sbr, env_vals_r, params)
+        sbr.put(int(noise_val), 5)        # noise L
+        sbr.put(int(noise_val), 5)        # noise R
+        sbr.put(0, 1)                     # bs_add_harmonic_flag L
+        sbr.put(0, 1)                     # bs_add_harmonic_flag R
+    else:
+        _write_grid_dtdf(sbr)
+        _write_dtdf(sbr)
+        _write_invf(sbr, params)
+        _write_env(sbr, env_vals, params)
+        sbr.put(int(noise_val), 5)        # noise floor (one band, one env)
+        sbr.put(0, 1)                     # bs_add_harmonic_flag
     if ps_iid is None:
         sbr.put(0, 1)                     # bs_extended_data
     else:

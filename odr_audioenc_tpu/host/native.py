@@ -125,13 +125,14 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
 
     if enc.is_sbr:
         p = enc.sbr_params
-        env = np.ascontiguousarray(out_np["sbr_env"][:, :, 0], np.int32)
+        env = np.ascontiguousarray(out_np["sbr_env"], np.int32)  # [S,nau,ch,n_lo]
+        env_ch = env.shape[2]
         sbrp = np.asarray([p.bs_start_freq, p.bs_stop_freq, p.bs_xover_band,
                            p.bs_freq_scale, p.bs_alter_scale, p.bs_noise_bands,
-                           p.n_q, p.n_lo, 12], np.int32)
+                           p.n_q, p.n_lo, 12, env_ch], np.int32)
         env_p = _p(env, ctypes.c_int32)
     else:
-        sbrp = np.asarray([0] * 8 + [12], np.int32)
+        sbrp = np.asarray([0] * 8 + [12, 1], np.int32)
         env_p = None
     if enc.is_ps and "ps_iid" in out_np:
         iid = np.ascontiguousarray(out_np["ps_iid"], np.int32)

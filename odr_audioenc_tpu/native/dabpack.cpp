@@ -261,9 +261,20 @@ int write_ps_data(BitWr &bw, const int32_t *iid) {
   return int(bw.bitpos - n0);
 }
 
+void write_env(BitWr &sbr, const int32_t *env_vals, int n_lo) {
+  int prev = env_vals[0];
+  sbr.put(uint32_t(prev), 7);
+  for (int i = 1; i < n_lo; ++i) {
+    int d = env_vals[i] - prev;
+    d = d < -60 ? -60 : (d > 60 ? 60 : d);
+    sbr.put(ENV_CODE_F[d + 60], ENV_LEN_F[d + 60]);
+    prev = prev + d;
+  }
+}
+
 void write_sbr_payload(BitWr &bw, const int32_t *env_vals, int noise_val,
                        const int32_t *P /* sbr params */, bool write_header,
-                       const int32_t *ps_iid) {
+                       const int32_t *ps_iid, const int32_t *env_vals_r) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
    * 5 noise_bands, 6 n_q, 7 n_lo */
   uint8_t sbuf[512] = {0};
@@ -281,23 +292,31 @@ void write_sbr_payload(BitWr &bw, const int32_t *env_vals, int noise_val,
     sbr.put(uint32_t(P[4]), 1);
     sbr.put(uint32_t(P[5]), 2);
   }
-  sbr.put(0, 1);
-  sbr.put(0, 2);
-  sbr.put(0, 2);
-  sbr.put(0, 1);
-  sbr.put(0, 1);
-  sbr.put(0, 1);
-  for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
-  int prev = env_vals[0];
-  sbr.put(uint32_t(prev), 7);
-  for (int i = 1; i < P[7]; ++i) {
-    int d = env_vals[i] - prev;
-    d = d < -60 ? -60 : (d > 60 ? 60 : d);
-    sbr.put(ENV_CODE_F[d + 60], ENV_LEN_F[d + 60]);
-    prev = prev + d;
+  sbr.put(0, 1); /* bs_data_extra */
+  if (env_vals_r) {
+    /* sbr_channel_pair_element, coupling off (env_extr.cpp:617-820) */
+    sbr.put(0, 1);                                   /* bs_coupling */
+    for (int c = 0; c < 2; ++c) { sbr.put(0, 2); sbr.put(0, 2); sbr.put(0, 1); }
+    for (int c = 0; c < 2; ++c) { sbr.put(0, 1); sbr.put(0, 1); }
+    for (int c = 0; c < 2; ++c)
+      for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
+    write_env(sbr, env_vals, P[7]);
+    write_env(sbr, env_vals_r, P[7]);
+    sbr.put(uint32_t(noise_val), 5);
+    sbr.put(uint32_t(noise_val), 5);
+    sbr.put(0, 1);
+    sbr.put(0, 1);
+  } else {
+    sbr.put(0, 2);
+    sbr.put(0, 2);
+    sbr.put(0, 1);
+    sbr.put(0, 1);
+    sbr.put(0, 1);
+    for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
+    write_env(sbr, env_vals, P[7]);
+    sbr.put(uint32_t(noise_val), 5);
+    sbr.put(0, 1);
   }
-  sbr.put(uint32_t(noise_val), 5);
-  sbr.put(0, 1);
   if (!ps_iid) {
     sbr.put(0, 1);
   } else {
@@ -453,10 +472,12 @@ int dabplus_pack_batch(
           write_dse(bw, pads + (size_t(s) * nau + a) * pad_stride, pl);
       }
       if (sbr_env) {
-        write_sbr_payload(bw, sbr_env + (size_t(s) * nau + a) * sbrp[7],
-                          sbrp[8], sbrp, true,
+        const int env_ch = sbrp[9];
+        const int32_t *ev = sbr_env + ((size_t(s) * nau + a) * env_ch) * sbrp[7];
+        write_sbr_payload(bw, ev, sbrp[8], sbrp, true,
                           ps_iid ? ps_iid + (size_t(s) * nau + a) * 10
-                                 : nullptr);
+                                 : nullptr,
+                          env_ch == 2 ? ev + sbrp[7] : nullptr);
       }
 
       au_start[a] = pos;

@@ -13,6 +13,7 @@ import signals
     ("lc", 12, 2, 0),
     ("lc", 16, 1, 8),
     ("sbr", 8, 1, 0),
+    ("sbr", 10, 2, 0),
     ("ps", 6, 2, 0),
 ])
 def test_native_dabpack_matches_python(aot, subch, ch, pad):

@@ -62,3 +62,28 @@ def test_sbr_spectral_parity_vs_reference():
     rb = np.concatenate([rdec.decode_superframe(s) for s in renc.encode(sig)], axis=1)
     theirs = spectral_dist(a, rb[0].astype(float))
     assert ours < theirs + 3.0, f"spectral distance {ours:.1f} vs reference {theirs:.1f}"
+
+
+def test_stereo_sbr_loopback():
+    """Stereo (non-PS) HE-AAC: sbr_channel_pair_element accepted by the
+    reference decoder, both channels reconstructed at the right level with
+    sane spectral envelopes (env_extr.cpp:617-820 CPE layout)."""
+    sig = music_like(20)
+    cfg = DabPlusConfig(48000, 10, 2, aot="sbr")  # 80 kbps stereo
+    spf = cfg.num_aus * cfg.au_samples
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    dec = fdk_ref.FdkDecoder()
+    pcm = []
+    for i in range(3):
+        state, fr = enc.encode_superframes(state, sig[None, :, i * spf:(i + 1) * spf])
+        assert len(fr[0]) == 120 * cfg.subch
+        assert superframe_check_rs(np.frombuffer(fr[0], np.uint8))
+        pcm.append(dec.decode_superframe(fr[0][:110 * cfg.subch]))
+    pcm = np.concatenate(pcm, axis=1)
+    assert pcm.shape[0] == 2
+    for c in range(2):
+        ratio = pcm[c].astype(float).std() / sig[c, :pcm.shape[1]].astype(float).std()
+        assert 0.7 < ratio < 1.4, f"ch{c} level ratio {ratio:.2f}"
+        d = spectral_dist(sig[c].astype(float), pcm[c].astype(float))
+        assert d < 25.0, f"ch{c} spectral distortion {d:.1f} dB"
