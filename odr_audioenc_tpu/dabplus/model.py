@@ -106,7 +106,8 @@ class DabPlusEncoder:
                                        self.core_channels, sbr=self.is_sbr,
                                        ps=self.is_ps)
         payload = self.packer.payload_bits()
-        self.sbr_bits_est = (200 * self.core_channels) if self.is_sbr else 0
+        # worst case: 2-envelope transient grid per channel
+        self.sbr_bits_est = (290 * self.core_channels) if self.is_sbr else 0
         pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
         self.budget_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
         self._step = jax.jit(self._superframe_step)
@@ -145,6 +146,17 @@ class DabPlusEncoder:
             env = SBR.envelope_energies(aus_full, self.sbr_params, self.dtype)
             sbr_out["sbr_env"] = jnp.moveaxis(
                 SBR.quantize_envelope(env, self.dtype), 0, 1)  # [S, nau, ch?, n_lo]
+            # split-envelope measurement + transient flag: AUs with a strong
+            # level change between halves get a 2-envelope FIXFIX grid
+            halves = aus_full.reshape(nau, S, ch, 2, cfg.au_samples // 2)
+            env_h = SBR.envelope_energies(halves, self.sbr_params, self.dtype)
+            sbr_out["sbr_env2"] = jnp.moveaxis(
+                SBR.quantize_envelope(env_h, self.dtype), 0, 1)  # [S,nau,ch,2,n_lo]
+            he = (halves * halves).sum(-1)                       # [nau,S,ch,2]
+            hi = jnp.maximum(he[..., 0], he[..., 1])
+            lo = jnp.minimum(he[..., 0], he[..., 1])
+            sbr_out["sbr_transient"] = jnp.moveaxis(
+                hi > 6.0 * (lo + 1.0), 0, 1)                     # [S, nau, ch]
             # 2:1 decimation for the core (63-tap half-band, carried history)
             xx = jnp.concatenate([state["ds_hist"], x], axis=-1)
             # correlate: y[m] = sum_k h[k] * xx[2m + k]
@@ -240,11 +252,16 @@ class DabPlusEncoder:
                     write_dse(bw, pads[s][a])
                 if self.is_sbr:
                     env = out["sbr_env"][s, a]
+                    env2 = out["sbr_env2"][s, a]
+                    tr = out["sbr_transient"][s, a]
+
+                    def _envs(c):
+                        return [env2[c, 0], env2[c, 1]] if tr[c] else [env[c]]
                     SBR.write_sbr_payload(
-                        bw, env[0], noise_val=12,
+                        bw, _envs(0), noise_val=12,
                         params=self.sbr_params,
                         ps_iid=out["ps_iid"][s, a] if self.is_ps else None,
-                        env_vals_r=env[1] if (self.core_channels == 2) else None)
+                        envs_r=_envs(1) if (self.core_channels == 2) else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return frames

@@ -171,16 +171,20 @@ def _write_ps_data(bw, iid_idx):
     return len(bw.buf) * 8 + bw.nbits - n0
 
 
-def _write_grid_dtdf(sbr):
-    """FIXFIX 1-envelope grid + dtdf for one channel."""
+def _write_grid(sbr, n_env):
+    """FIXFIX grid for one channel (env_extr.cpp extractFrameInfo case 0:
+    E code = ceil(log2(n_env)), one static freq_res bit for all envs)."""
     sbr.put(0, 2)                         # bs_frame_class FIXFIX
-    sbr.put(0, 2)                         # ceil(log2(num_env=1))
-    sbr.put(0, 1)                         # bs_freq_res[0] = low resolution
+    sbr.put(0 if n_env == 1 else 1, 2)    # ceil(log2(num_env))
+    sbr.put(0, 1)                         # bs_freq_res = low resolution
 
 
-def _write_dtdf(sbr):
-    sbr.put(0, 1)                         # bs_df_env[0] = FREQ
-    sbr.put(0, 1)                         # bs_df_noise[0] = FREQ
+def _write_dtdf(sbr, n_env):
+    n_noise = 1 if n_env == 1 else 2
+    for _ in range(n_env):
+        sbr.put(0, 1)                     # bs_df_env = FREQ
+    for _ in range(n_noise):
+        sbr.put(0, 1)                     # bs_df_noise = FREQ
 
 
 def _write_invf(sbr, params):
@@ -188,33 +192,43 @@ def _write_invf(sbr, params):
         sbr.put(1, 2)                     # bs_invf_mode = LOW_LEVEL
 
 
-def _write_env(sbr, env_vals, params):
-    """envelope, FREQ delta coding (amp-res 1.5 forced for FIXFIX 1-env)."""
-    v0 = int(env_vals[0])
-    sbr.put(v0, 7)
-    prev = v0
-    for i in range(1, params.n_lo):
-        d = int(env_vals[i]) - prev
-        d = max(-60, min(60, d))
-        sbr.put(int(ENV_CODE_F[d + 60]), int(ENV_LEN_F[d + 60]))
-        prev = prev + d
+def _write_env(sbr, envs, params):
+    """envelopes, FREQ delta coding (amp-res 1.5: 7-bit start + LAV60
+    huffman; the header transmits bs_amp_res=0 so multi-envelope frames use
+    the same resolution the decoder forces for FIXFIX 1-env)."""
+    for env_vals in envs:
+        v0 = int(env_vals[0])
+        sbr.put(v0, 7)
+        prev = v0
+        for i in range(1, params.n_lo):
+            d = int(env_vals[i]) - prev
+            d = max(-60, min(60, d))
+            sbr.put(int(ENV_CODE_F[d + 60]), int(ENV_LEN_F[d + 60]))
+            prev = prev + d
 
 
-def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True,
-                      ps_iid=None, env_vals_r=None):
+def _write_noise(sbr, noise_val, n_env):
+    for _ in range(1 if n_env == 1 else 2):
+        sbr.put(int(noise_val), 5)
+
+
+def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
+                      ps_iid=None, envs_r=None):
     """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
 
-    bw_target: the AU BitWriter (after the SCE/CPE).  env_vals: [n_lo] ints;
+    bw_target: the AU BitWriter (after the SCE/CPE).  envs: list of 1 or 2
+    [n_lo] envelope arrays (2 = transient AU, split FIXFIX grid);
     noise_val: int 0..31; ps_iid: [10] coarse IID indices or None;
-    env_vals_r: right-channel envelope for stereo (non-PS) SBR - emits the
+    envs_r: right-channel envelopes for stereo (non-PS) SBR - emits the
     sbr_channel_pair_element layout the reference decoder parses at
     env_extr.cpp:617-820 (coupling off: grids, dtdfs, invfs, env L, env R,
     noise L, noise R, add-harmonic flags)."""
-    cpe = env_vals_r is not None
+    cpe = envs_r is not None
+    nl, nr = len(envs), len(envs_r) if cpe else 0
     sbr = BitWriter()
     sbr.put(1 if write_header else 0, 1)  # bs_header_flag
     if write_header:
-        sbr.put(1, 1)                     # bs_amp_res (3.0 nominal)
+        sbr.put(0, 1)                     # bs_amp_res = 1.5 dB
         sbr.put(params.bs_start_freq, 4)
         sbr.put(params.bs_stop_freq, 4)
         sbr.put(params.bs_xover_band, 3)
@@ -227,24 +241,24 @@ def write_sbr_payload(bw_target, env_vals, noise_val, params, write_header=True,
     sbr.put(0, 1)                         # bs_data_extra
     if cpe:
         sbr.put(0, 1)                     # bs_coupling off
-        _write_grid_dtdf(sbr)             # grid L
-        _write_grid_dtdf(sbr)             # grid R
-        _write_dtdf(sbr)                  # dtdf L
-        _write_dtdf(sbr)                  # dtdf R
+        _write_grid(sbr, nl)              # grid L
+        _write_grid(sbr, nr)              # grid R
+        _write_dtdf(sbr, nl)              # dtdf L
+        _write_dtdf(sbr, nr)              # dtdf R
         _write_invf(sbr, params)          # invf L
         _write_invf(sbr, params)          # invf R
-        _write_env(sbr, env_vals, params)
-        _write_env(sbr, env_vals_r, params)
-        sbr.put(int(noise_val), 5)        # noise L
-        sbr.put(int(noise_val), 5)        # noise R
+        _write_env(sbr, envs, params)
+        _write_env(sbr, envs_r, params)
+        _write_noise(sbr, noise_val, nl)  # noise L
+        _write_noise(sbr, noise_val, nr)  # noise R
         sbr.put(0, 1)                     # bs_add_harmonic_flag L
         sbr.put(0, 1)                     # bs_add_harmonic_flag R
     else:
-        _write_grid_dtdf(sbr)
-        _write_dtdf(sbr)
+        _write_grid(sbr, nl)
+        _write_dtdf(sbr, nl)
         _write_invf(sbr, params)
-        _write_env(sbr, env_vals, params)
-        sbr.put(int(noise_val), 5)        # noise floor (one band, one env)
+        _write_env(sbr, envs, params)
+        _write_noise(sbr, noise_val, nl)
         sbr.put(0, 1)                     # bs_add_harmonic_flag
     if ps_iid is None:
         sbr.put(0, 1)                     # bs_extended_data

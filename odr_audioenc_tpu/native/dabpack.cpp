@@ -272,16 +272,17 @@ void write_env(BitWr &sbr, const int32_t *env_vals, int n_lo) {
   }
 }
 
-void write_sbr_payload(BitWr &bw, const int32_t *env_vals, int noise_val,
+void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
+                       const int32_t *const *envs_r, int nr, int noise_val,
                        const int32_t *P /* sbr params */, bool write_header,
-                       const int32_t *ps_iid, const int32_t *env_vals_r) {
+                       const int32_t *ps_iid) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
    * 5 noise_bands, 6 n_q, 7 n_lo */
   uint8_t sbuf[512] = {0};
   BitWr sbr(sbuf);
   sbr.put(write_header ? 1 : 0, 1);
   if (write_header) {
-    sbr.put(1, 1);
+    sbr.put(0, 1); /* bs_amp_res = 1.5 dB */
     sbr.put(uint32_t(P[0]), 4);
     sbr.put(uint32_t(P[1]), 4);
     sbr.put(uint32_t(P[2]), 3);
@@ -293,28 +294,40 @@ void write_sbr_payload(BitWr &bw, const int32_t *env_vals, int noise_val,
     sbr.put(uint32_t(P[5]), 2);
   }
   sbr.put(0, 1); /* bs_data_extra */
-  if (env_vals_r) {
+  auto grid = [&](int ne) {
+    sbr.put(0, 2);                       /* FIXFIX */
+    sbr.put(ne == 1 ? 0 : 1, 2);         /* ceil(log2(num_env)) */
+    sbr.put(0, 1);                       /* bs_freq_res (static) */
+  };
+  auto dtdf = [&](int ne) {
+    for (int e = 0; e < ne; ++e) sbr.put(0, 1);
+    for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(0, 1);
+  };
+  auto envw = [&](const int32_t *const *envs, int ne) {
+    for (int e = 0; e < ne; ++e) write_env(sbr, envs[e], P[7]);
+  };
+  auto noisew = [&](int ne) {
+    for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(uint32_t(noise_val), 5);
+  };
+  if (envs_r) {
     /* sbr_channel_pair_element, coupling off (env_extr.cpp:617-820) */
     sbr.put(0, 1);                                   /* bs_coupling */
-    for (int c = 0; c < 2; ++c) { sbr.put(0, 2); sbr.put(0, 2); sbr.put(0, 1); }
-    for (int c = 0; c < 2; ++c) { sbr.put(0, 1); sbr.put(0, 1); }
+    grid(nl); grid(nr);
+    dtdf(nl); dtdf(nr);
     for (int c = 0; c < 2; ++c)
       for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
-    write_env(sbr, env_vals, P[7]);
-    write_env(sbr, env_vals_r, P[7]);
-    sbr.put(uint32_t(noise_val), 5);
-    sbr.put(uint32_t(noise_val), 5);
+    envw(envs_l, nl);
+    envw(envs_r, nr);
+    noisew(nl);
+    noisew(nr);
     sbr.put(0, 1);
     sbr.put(0, 1);
   } else {
-    sbr.put(0, 2);
-    sbr.put(0, 2);
-    sbr.put(0, 1);
-    sbr.put(0, 1);
-    sbr.put(0, 1);
+    grid(nl);
+    dtdf(nl);
     for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
-    write_env(sbr, env_vals, P[7]);
-    sbr.put(uint32_t(noise_val), 5);
+    envw(envs_l, nl);
+    noisew(nl);
     sbr.put(0, 1);
   }
   if (!ps_iid) {
@@ -403,7 +416,9 @@ int dabplus_pack_batch(
     const int32_t *tns_order,    /* [S,nau,ch] */
     const int32_t *tns_idx,      /* [S,nau,ch,12] */
     int tns_length_code,
-    const int32_t *sbr_env,      /* [S,nau,n_lo] or NULL */
+    const int32_t *sbr_env,      /* [S,nau,env_ch,n_lo] or NULL */
+    const int32_t *sbr_env2,     /* [S,nau,env_ch,2,n_lo] or NULL */
+    const uint8_t *sbr_trans,    /* [S,nau,env_ch] or NULL */
     const int32_t *ps_iid,       /* [S,nau,10] or NULL */
     const uint8_t *pads,         /* [S,nau,pad_stride] or NULL */
     const int32_t *pad_len,     /* [S,nau] */
@@ -473,11 +488,30 @@ int dabplus_pack_batch(
       }
       if (sbr_env) {
         const int env_ch = sbrp[9];
-        const int32_t *ev = sbr_env + ((size_t(s) * nau + a) * env_ch) * sbrp[7];
-        write_sbr_payload(bw, ev, sbrp[8], sbrp, true,
+        const int n_lo = sbrp[7];
+        const int32_t *ev = sbr_env + ((size_t(s) * nau + a) * env_ch) * n_lo;
+        const int32_t *ev2 = sbr_env2
+            ? sbr_env2 + (((size_t(s) * nau + a) * env_ch) * 2) * n_lo : nullptr;
+        const uint8_t *tr = sbr_trans
+            ? sbr_trans + (size_t(s) * nau + a) * env_ch : nullptr;
+        const int32_t *el[2], *er[2];
+        int nl = 1, nr = 1;
+        if (tr && tr[0] && ev2) {
+          el[0] = ev2; el[1] = ev2 + n_lo; nl = 2;
+        } else {
+          el[0] = ev;
+        }
+        if (env_ch == 2) {
+          if (tr && tr[1] && ev2) {
+            er[0] = ev2 + 2 * n_lo; er[1] = ev2 + 3 * n_lo; nr = 2;
+          } else {
+            er[0] = ev + n_lo;
+          }
+        }
+        write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
+                          sbrp[8], sbrp, true,
                           ps_iid ? ps_iid + (size_t(s) * nau + a) * 10
-                                 : nullptr,
-                          env_ch == 2 ? ev + sbrp[7] : nullptr);
+                                 : nullptr);
       }
 
       au_start[a] = pos;
