@@ -183,8 +183,26 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
     reductions ride the MXU as f32 matmuls.
     """
     aq = jnp.abs(q)
-    oh = jax.nn.one_hot(band_of_line, NB, dtype=dtype)  # [960, NB]
-    maxq = jnp.max(aq[..., None] * oh.astype(jnp.int32), axis=-2)  # [..., NB]
+    oh = jax.nn.one_hot(band_of_line, NB, dtype=jnp.bfloat16)  # [960, NB]
+
+    # per-book validity via violation COUNTS instead of a per-band max (the
+    # [.., 960, NB] max tensor was the bandwidth hot spot): for each distinct
+    # book limit, count in-band lines exceeding it with one bf16 MXU matmul
+    # (0/1 values and small-int tables are exact in bf16; accumulate in f32)
+    lav_dist = jnp.asarray([0, 1, 2, 4, 7, 12], jnp.int32)
+    ind = (aq[..., None] > lav_dist).astype(jnp.bfloat16)     # [.., 960, 6]
+    cnt = jnp.einsum("...nc,nb->...bc", ind, oh,
+                     preferred_element_type=jnp.float32)      # [.., NB, 6]
+    ok_dist = cnt < 0.5
+    # book -> distinct-lav column: 0:0, 1/2:1, 3/4:2, 5/6:3, 7/8:4, 9/10:5,
+    # 11: always valid (q is clipped to the book-11 escape limit)
+    ok = jnp.stack([ok_dist[..., 0],
+                    ok_dist[..., 1], ok_dist[..., 1],
+                    ok_dist[..., 2], ok_dist[..., 2],
+                    ok_dist[..., 3], ok_dist[..., 3],
+                    ok_dist[..., 4], ok_dist[..., 4],
+                    ok_dist[..., 5], ok_dist[..., 5],
+                    jnp.ones_like(ok_dist[..., 0])], axis=-1)  # [.., NB, 12]
 
     shp = q.shape[:-1]
     q4 = q.reshape(*shp, 240, 4)
@@ -195,20 +213,25 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
     oh2 = oh[::2]
 
     def bsum4(x):
-        return jnp.round(x.astype(dtype) @ oh4).astype(jnp.int32)
+        return jnp.round(jnp.matmul(x.astype(jnp.bfloat16), oh4,
+                                    preferred_element_type=jnp.float32)
+                         ).astype(jnp.int32)
 
     def bsum2(x):
-        return jnp.round(x.astype(dtype) @ oh2).astype(jnp.int32)
+        return jnp.round(jnp.matmul(x.astype(jnp.bfloat16), oh2,
+                                    preferred_element_type=jnp.float32)
+                         ).astype(jnp.int32)
 
     signs4 = jnp.sum(aq4 != 0, axis=-1)
     signs2 = jnp.sum(aq2 != 0, axis=-1)
 
     def lut(table_rows, idx, n):
         """table lookup as one-hot matmul (gathers are slow on TPU; a
-        [.., n] one-hot x [n, k] table rides the MXU)."""
-        ohx = jax.nn.one_hot(idx, n, dtype=dtype)
-        t = jnp.asarray(np.stack(table_rows, -1), dtype)  # [n, k]
-        out = ohx @ t
+        [.., n] one-hot x [n, k] table rides the MXU).  Codeword lengths are
+        small integers - exact in bf16 with f32 accumulation."""
+        ohx = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
+        t = jnp.asarray(np.stack(table_rows, -1), jnp.bfloat16)  # [n, k]
+        out = jnp.matmul(ohx, t, preferred_element_type=jnp.float32)
         return [jnp.round(out[..., j]).astype(jnp.int32)
                 for j in range(len(table_rows))]
 
@@ -246,9 +269,6 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
         bsum2(l9), bsum2(l10), bsum2(l11),
     ], axis=-1)  # [..., NB, 12]
 
-    lav = jnp.asarray([0, 1, 1, 2, 2, 4, 4, 7, 7, 12, 12, 8191], jnp.int32)
-    ok = maxq[..., None] <= lav
-    ok = ok.at[..., 0].set(maxq == 0)
     bandsel = jnp.arange(NB) < max_sfb[..., None]
     big = jnp.asarray(1 << 20, jnp.int32)
     cost = jnp.where(ok, bits, big)
@@ -317,16 +337,16 @@ def side_info_bits(books, gains, max_sfb, dtype):
                             books_m[..., :-1]], axis=-1)
     new_sect = (books_m != prev) & bandsel
     n_sect = new_sect.sum(-1)
-    sect_bits = n_sect * (4 + 5)  # runs < 31 bands (max_sfb <= 49 -> may need escape)
-    # runs >= 31 need one extra 5-bit escape; with <=49 bands at most one run
-    # can exceed 31: count bands per run conservatively via total:
-    # exact: a run of length L costs 5*(L//31) extra
-    run_id = jnp.cumsum(new_sect, axis=-1)
-    # compute run lengths via segment counts
-    max_runs = nb
-    run_oh = jax.nn.one_hot(jnp.where(bandsel, run_id, 0), max_runs + 1, dtype=jnp.int32)
-    run_len = run_oh.sum(-2)[..., 1:]
-    sect_bits = sect_bits + 5 * (run_len // 31).sum(-1)
+    sect_bits = n_sect * (4 + 5)
+    # a run of length L costs 5*(L//31) extra escape fields; band b adds one
+    # exactly when its distance from the run start is 30 mod 31 (no run-length
+    # histogram needed - one cummax + elementwise)
+    idxs = jnp.arange(nb)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_sect, idxs, -1), axis=-1)
+    d = idxs - run_start
+    esc = bandsel & (run_start >= 0) & (d % 31 == 30)
+    sect_bits = sect_bits + 5 * esc.sum(-1)
 
     # scalefactor dpcm over non-zero bands
     nz = (books_m > 0)
@@ -340,10 +360,18 @@ def side_info_bits(books, gains, max_sfb, dtype):
     prev_nz = jax.lax.associative_scan(jnp.maximum, lastnz_idx, axis=-1)
     prev_nz = jnp.concatenate([jnp.full(prev_nz.shape[:-1] + (1,), -1, prev_nz.dtype),
                                prev_nz[..., :-1]], axis=-1)
-    g_prev = jnp.take_along_axis(gains, jnp.maximum(prev_nz, 0), axis=-1)
+    # gains at prev_nz via one-hot bf16 matmul (gather-free; gains are
+    # small ints, exact in bf16 with f32 accumulation)
+    p_oh = jax.nn.one_hot(jnp.maximum(prev_nz, 0), nb, dtype=jnp.bfloat16)
+    g_prev = jnp.round(jnp.einsum("...kj,...j->...k", p_oh,
+                                  gains.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+                       ).astype(jnp.int32)
     delta = jnp.clip(gains - g_prev, -60, 60)
     has_prev = prev_nz >= 0
-    lens = jnp.asarray(AT.HUFF_LEN_SCF)[delta + 60]
+    d_oh = jax.nn.one_hot(delta + 60, 121, dtype=jnp.bfloat16)
+    lens = jnp.round(d_oh @ jnp.asarray(AT.HUFF_LEN_SCF, jnp.bfloat16),
+                     ).astype(jnp.int32)
     scf_bits = jnp.where(nz & has_prev, lens, 0).sum(-1)
     scf_bits = scf_bits + jnp.where(nz.any(-1), jnp.asarray(AT.HUFF_LEN_SCF)[60], 0)
 
