@@ -130,9 +130,10 @@ class DabPlusEncoder:
         if self.is_ps:
             # parametric stereo: IID from L/R, then mono downmix feeds SBR+core
             aus_lr = x.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
-            iid = SBR.iid_parameters(aus_lr[:, :, 0], aus_lr[:, :, 1],
-                                     cfg.sample_rate, self.dtype)
+            iid, icc = SBR.iid_parameters(aus_lr[:, :, 0], aus_lr[:, :, 1],
+                                          cfg.sample_rate, self.dtype)
             sbr_out["ps_iid"] = jnp.moveaxis(iid, 0, 1)  # [S, nau, 10]
+            sbr_out["ps_icc"] = jnp.moveaxis(icc, 0, 1)  # [S, nau, 10]
             # energy-compensated mono downmix (correlation loss correction)
             m = 0.5 * (x[:, 0:1] + x[:, 1:2])
             e_lr = (x[:, 0:1] ** 2 + x[:, 1:2] ** 2).sum(-1, keepdims=True)
@@ -261,6 +262,7 @@ class DabPlusEncoder:
                         bw, _envs(0), noise_val=12,
                         params=self.sbr_params,
                         ps_iid=out["ps_iid"][s, a] if self.is_ps else None,
+                        ps_icc=out["ps_icc"][s, a] if self.is_ps else None,
                         envs_r=_envs(1) if (self.core_channels == 2) else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))

@@ -129,17 +129,28 @@ PS_BORDER_QMF = np.array([0.0, 1 / 3, 2 / 3, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0,
                           14.0, 64.0])
 
 
+ICC_CODE_F = _npz["ps_iccDeltaFreq_Code"]
+ICC_LEN_F = _npz["ps_iccDeltaFreq_Length"]
+# ICC quantisation grid (correlation values, ps_encode quantized_RHO)
+ICC_GRID = np.array([1.0, 0.937, 0.84118, 0.60092, 0.36764, 0.0, -0.589,
+                     -1.0], np.float32)
+
+
 def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
-    """Per-AU coarse IID indices [-7..7] from L/R band energies.
-    au_l/au_r: [..., n] full-rate float samples."""
+    """Per-AU coarse IID indices [-7..7] and ICC indices [0..7] from L/R
+    band cross-spectra.  au_l/au_r: [..., n] full-rate float samples."""
     n = au_l.shape[-1]
     win = jnp.asarray(np.hanning(n), dtype)
-    pl = jnp.abs(jnp.fft.rfft(au_l * win)) ** 2
-    pr = jnp.abs(jnp.fft.rfft(au_r * win)) ** 2
+    sl = jnp.fft.rfft(au_l * win)
+    sr = jnp.fft.rfft(au_r * win)
+    pl = sl.real ** 2 + sl.imag ** 2
+    pr = sr.real ** 2 + sr.imag ** 2
+    cross = sl.real * sr.real + sl.imag * sr.imag  # Re(L * conj(R))
     freqs = np.arange(pl.shape[-1]) * fs_out / n
     borders = PS_BORDER_QMF * fs_out / 128.0
-    idxs = []
+    idxs, iccs = [], []
     grid = jnp.asarray(IID_GRID_DB, dtype)
+    icc_grid = jnp.asarray(ICC_GRID, dtype)
     for b in range(PS_NBANDS):
         m = jnp.asarray((freqs >= borders[b]) & (freqs < borders[b + 1]), dtype)
         el = (pl * m).sum(-1) + 1e-6
@@ -147,17 +158,24 @@ def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
         iid_db = 10.0 * jnp.log10(el / er)
         q = jnp.argmin(jnp.abs(iid_db[..., None] - grid), axis=-1) - 7
         idxs.append(q.astype(jnp.int32))
-    return jnp.stack(idxs, axis=-1)  # [..., 10]
+        rho = jnp.clip((cross * m).sum(-1) / jnp.sqrt(el * er), -1.0, 1.0)
+        qi = jnp.argmin(jnp.abs(rho[..., None] - icc_grid), axis=-1)
+        iccs.append(qi.astype(jnp.int32))
+    return jnp.stack(idxs, axis=-1), jnp.stack(iccs, axis=-1)  # [..., 10] x2
 
 
-def _write_ps_data(bw, iid_idx):
-    """ps_data with IID-only coarse parameters (ps_bitenc.cpp:555-623).
-    Returns bit count."""
+def _write_ps_data(bw, iid_idx, icc_idx=None):
+    """ps_data with coarse IID + ICC parameters (ps_bitenc.cpp:555-623;
+    parse order per psbitdec.cpp:449-575: header, framing, IID envelopes,
+    ICC envelopes).  Returns bit count."""
     n0 = len(bw.buf) * 8 + bw.nbits
+    has_icc = icc_idx is not None
     bw.put(1, 1)   # enable_ps_header
     bw.put(1, 1)   # enable_iid
     bw.put(0, 3)   # iid_mode 0 = coarse, 10 bands
-    bw.put(0, 1)   # enable_icc
+    bw.put(1 if has_icc else 0, 1)  # enable_icc
+    if has_icc:
+        bw.put(0, 3)  # icc_mode 0 = coarse, 10 bands
     bw.put(0, 1)   # enable_ext
     bw.put(0, 1)   # frame_class FIX
     bw.put(1, 2)   # num_env_idx -> 1 envelope
@@ -168,6 +186,14 @@ def _write_ps_data(bw, iid_idx):
         last = int(iid_idx[b])
         d = max(-14, min(14, d))
         bw.put(int(IID_CODE_F[d + 14]), int(IID_LEN_F[d + 14]))
+    if has_icc:
+        bw.put(0, 1)   # delta_icc[0] = FREQ
+        last = 0
+        for b in range(PS_NBANDS):
+            d = int(icc_idx[b]) - last
+            last = int(icc_idx[b])
+            d = max(-7, min(7, d))
+            bw.put(int(ICC_CODE_F[d + 7]), int(ICC_LEN_F[d + 7]))
     return len(bw.buf) * 8 + bw.nbits - n0
 
 
@@ -213,7 +239,7 @@ def _write_noise(sbr, noise_val, n_env):
 
 
 def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
-                      ps_iid=None, envs_r=None):
+                      ps_iid=None, envs_r=None, ps_icc=None):
     """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
 
     bw_target: the AU BitWriter (after the SCE/CPE).  envs: list of 1 or 2
@@ -265,7 +291,7 @@ def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
     else:
         # extended data with PS (encodeExtendedData, bit_sbr.cpp:~500)
         ps = BitWriter()
-        ps_bits = 2 + _write_ps_data(ps, ps_iid)  # + extension id
+        ps_bits = 2 + _write_ps_data(ps, ps_iid, ps_icc)  # + extension id
         ext_size = (ps_bits + 7) // 8
         sbr.put(1, 1)                     # bs_extended_data
         if ext_size < 15:

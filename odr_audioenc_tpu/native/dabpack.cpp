@@ -241,12 +241,13 @@ void write_dse(BitWr &bw, const uint8_t *payload, int n) {
   }
 }
 
-int write_ps_data(BitWr &bw, const int32_t *iid) {
+int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc) {
   size_t n0 = bw.bitpos;
   bw.put(1, 1);
   bw.put(1, 1);
   bw.put(0, 3);
-  bw.put(0, 1);
+  bw.put(icc ? 1 : 0, 1);
+  if (icc) bw.put(0, 3);
   bw.put(0, 1);
   bw.put(0, 1);
   bw.put(1, 2);
@@ -257,6 +258,16 @@ int write_ps_data(BitWr &bw, const int32_t *iid) {
     last = iid[b];
     d = d < -14 ? -14 : (d > 14 ? 14 : d);
     bw.put(IID_CODE_F[d + 14], IID_LEN_F[d + 14]);
+  }
+  if (icc) {
+    bw.put(0, 1);
+    last = 0;
+    for (int b = 0; b < 10; ++b) {
+      int d = icc[b] - last;
+      last = icc[b];
+      d = d < -7 ? -7 : (d > 7 ? 7 : d);
+      bw.put(ICC_CODE_F[d + 7], ICC_LEN_F[d + 7]);
+    }
   }
   return int(bw.bitpos - n0);
 }
@@ -275,7 +286,7 @@ void write_env(BitWr &sbr, const int32_t *env_vals, int n_lo) {
 void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
                        const int32_t *const *envs_r, int nr, int noise_val,
                        const int32_t *P /* sbr params */, bool write_header,
-                       const int32_t *ps_iid) {
+                       const int32_t *ps_iid, const int32_t *ps_icc) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
    * 5 noise_bands, 6 n_q, 7 n_lo */
   uint8_t sbuf[512] = {0};
@@ -335,7 +346,7 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
   } else {
     uint8_t pbuf[64] = {0};
     BitWr ps(pbuf);
-    int ps_bits = 2 + write_ps_data(ps, ps_iid);
+    int ps_bits = 2 + write_ps_data(ps, ps_iid, ps_icc);
     int ext_size = (ps_bits + 7) / 8;
     sbr.put(1, 1);
     if (ext_size < 15) {
@@ -420,6 +431,7 @@ int dabplus_pack_batch(
     const int32_t *sbr_env2,     /* [S,nau,env_ch,2,n_lo] or NULL */
     const uint8_t *sbr_trans,    /* [S,nau,env_ch] or NULL */
     const int32_t *ps_iid,       /* [S,nau,10] or NULL */
+    const int32_t *ps_icc,       /* [S,nau,10] or NULL */
     const uint8_t *pads,         /* [S,nau,pad_stride] or NULL */
     const int32_t *pad_len,     /* [S,nau] */
     int pad_stride,
@@ -511,6 +523,8 @@ int dabplus_pack_batch(
         write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
                           sbrp[8], sbrp, true,
                           ps_iid ? ps_iid + (size_t(s) * nau + a) * 10
+                                 : nullptr,
+                          ps_icc ? ps_icc + (size_t(s) * nau + a) * 10
                                  : nullptr);
       }
 
