@@ -211,8 +211,8 @@ def threshold_fast(tone_c, noise_c, bark_line, hear_line,
     ks = jnp.arange(NLINE)
     kvalid = (ks[None, :] >= 1) & (ks[None, :] < sub_size[:, None])
 
-    def accumulate(c, c_bark, c_off):
-        m, x_t, bark_t = c
+    def accumulate(m, x_t, bark_t, c_bark, c_off):
+        # single fused [B, K_tone+K_noise, NLINE] pass for both masker types
         dz = bark_line[:, None, :] - bark_t[:, :, None]        # [B, K, NLINE]
         in_rng = (dz >= -3.0) & (dz < 8.0)
         tmps = -1.525 + c_bark * bark_t + c_off + x_t          # [B, K]
@@ -224,8 +224,13 @@ def threshold_fast(tone_c, noise_c, bark_line, hear_line,
         contrib = _lin(tmps[:, :, None] + vf) * (in_rng & m[:, :, None])
         return contrib.sum(axis=1)                              # [B, NLINE]
 
-    acc = accumulate(tone_c, -0.275, -4.5)
-    acc = acc + accumulate(noise_c, -0.175, -0.5)
+    m = jnp.concatenate([tone_c[0], noise_c[0]], axis=1)
+    x = jnp.concatenate([tone_c[1], noise_c[1]], axis=1)
+    bk = jnp.concatenate([tone_c[2], noise_c[2]], axis=1)
+    kt = tone_c[0].shape[1]
+    c_bark = jnp.where(jnp.arange(m.shape[1]) < kt, -0.275, -0.175)
+    c_off = jnp.where(jnp.arange(m.shape[1]) < kt, -4.5, -0.5)
+    acc = accumulate(m, x, bk, c_bark, c_off)
     base = jnp.where(low_rate[:, None], hear_line, hear_line - 12.0)
     ltg = _db(_lin(base) + acc)
     return jnp.where(kvalid, ltg, DBMIN)
