@@ -52,3 +52,33 @@ def test_mixed_batch():
         n = len(streams[i]) - int(cfg.lg_frame[i])
         want = (GOLDEN / f"{name}.mp2").read_bytes()[:n]
         assert streams[i][:n] == want, f"stream {name} diverged in mixed batch"
+
+
+@pytest.mark.parametrize("psy", [2, 3])
+def test_f32_path_psy23_produces_valid_frames(psy):
+    """The f32 throughput path for psy models 2/3 emits parseable frames
+    whose allocations mostly agree with the exact f64 path."""
+    import jax.numpy as jnp
+    from odr_audioenc_tpu.host import mp2parse
+    import signals
+
+    frames_in = signals.frames_of(signals.music_like(6))[:6]
+    cfg = make_config([{"rate": 48000, "bitrate": 128, "mode": "j"}])
+    outs = {}
+    for dtype in (jnp.float64, jnp.float32):
+        enc = Mp2Encoder(cfg, psy_model=psy, dtype=dtype)
+        pk = Mp2Packer(cfg)
+        state = enc.init_state()
+        chunks, allocs = [], []
+        for f in frames_in:
+            state, out = enc.encode_step(state, f[None])
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            allocs.append(out_np["bit_alloc"])
+            chunks += pk.emit(out_np)
+        chunks += pk.finish()
+        outs[str(dtype)] = (b"".join(chunks), np.stack(allocs))
+    (b64, a64), (b32, a32) = outs.values()
+    for fr in mp2parse.split_frames(b32):
+        mp2parse.parse_frame(fr)  # validates header/CRC structure
+    agree = (a64 == a32).mean()
+    assert agree > 0.95, f"psy{psy} f32 allocation agreement {agree:.3f}"
