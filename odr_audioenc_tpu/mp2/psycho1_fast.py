@@ -22,8 +22,8 @@ import numpy as np
 from .. import tables as T
 from .psycho1 import NBINS, PAD, DBMIN, power_spectrum, minimum_mask, smr_from, subsample
 
-_RELAX_ROUNDS = 2
-_MERGE_ROUNDS = 2
+_RELAX_ROUNDS = 1
+_MERGE_ROUNDS = 1
 MAX_TONE = 64
 
 
