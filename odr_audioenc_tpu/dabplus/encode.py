@@ -479,37 +479,26 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         total, q, books = count_for_gains(gains, use_dp)
         return total, (q, gains, books)
 
-    # coarse pass over wide offsets, then a fine pass around the winner
-    def scan_coarse(_, o):
-        t, _ = try_offset(o, use_dp=False)  # upper bound: brackets safely
-        return None, t
+    # bisect the global-gain offset: bits(o) is (near-)monotone decreasing in
+    # o, so the smallest fitting offset in [O_LO, O_HI] is found with
+    # ceil(log2(range)) exact counts instead of a dense coarse+fine scan
+    O_LO = -SF_OFF_RANGE
+    O_HI = (N_OFFSETS - 1) * SF_OFF_RANGE - SF_OFF_RANGE + SF_OFF_RANGE - 1
+    n_steps = int(np.ceil(np.log2(O_HI - O_LO + 1)))
+    lo = jnp.full_like(budget_bits, O_LO)
+    hi = jnp.full_like(budget_bits, O_HI)
 
-    coarse = jnp.arange(N_OFFSETS) * SF_OFF_RANGE - SF_OFF_RANGE
-    _, totals_c = jax.lax.scan(scan_coarse, None, coarse)
-    totals_c = jnp.moveaxis(totals_c, 0, -1)
-    fits_c = totals_c <= budget_bits[:, None]
-    ci = jnp.where(fits_c.any(-1), jnp.argmax(fits_c, -1), N_OFFSETS - 1)
-    o_hi = coarse[ci]  # smallest coarse offset that fits
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        t, _ = try_offset(mid, use_dp=False)  # upper-bound count: safe
+        fit = t <= budget_bits
+        return (jnp.where(fit, lo, mid + 1), jnp.where(fit, mid, hi)), None
 
-    def scan_fine(_, d):
-        o = o_hi - d  # try finer (lower) offsets below the coarse winner
-        t, p = try_offset(o)
-        return None, (t, *p)
-
-    _, (totals, qs, gainss, bookss) = jax.lax.scan(
-        scan_fine, None, jnp.arange(SF_OFF_RANGE)[::-1])  # d: 3,2,1,0
-    totals = jnp.moveaxis(totals, 0, -1)  # [S, SF_OFF_RANGE], offsets ascending
-    fits = totals <= budget_bits[:, None]
-    choice = jnp.where(fits.any(-1), jnp.argmax(fits, -1), SF_OFF_RANGE - 1)
-
-    def pick(stacked):
-        return jnp.take_along_axis(
-            stacked, choice.reshape((1, -1) + (1,) * (stacked.ndim - 2)), 0)[0]
-
-    q = pick(qs)
-    gains = pick(gainss)
-    books = pick(bookss)
-    bits = jnp.take_along_axis(totals, choice[:, None], 1)[:, 0]
+    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=n_steps)
+    # hi = smallest offset whose (upper-bound) count fits, or O_HI if none;
+    # the final DP count can only be smaller, so the budget is never overrun
+    bits, (q, gains, books) = try_offset(hi, use_dp=True)
 
     # afterburner-style refinement (aacenc_lib afterburner analogue): spend
     # leftover budget by adding precision (gain-1) to the bands with the
