@@ -144,7 +144,7 @@ def run_single(args):
         cfg = DabPlusConfig(args.rate, subch, channels, aot=aot,
                             pad_len=args.pad if args.pad_socket else 0)
         enc = DabPlusEncoder(cfg, 1)
-        frame_samples = cfg.num_aus * 960
+        frame_samples = cfg.num_aus * cfg.au_samples  # 120 ms at full rate
         frame_dur = frame_samples / args.rate
     else:
         if args.rate not in (24000, 48000):

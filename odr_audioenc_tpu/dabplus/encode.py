@@ -114,39 +114,112 @@ def mdct_frame(prev, cur, basis, dtype):
     return x @ basis
 
 
+def mdct_frame_switched(prev, cur, cos_basis, wvecs, short_basis, seq, dtype):
+    """Window-switched MDCT (transform.cpp/mdct_block analogue, TPU layout).
+
+    prev/cur: [S, ch, 960]; cos_basis: [1920, 960] unwindowed long basis;
+    wvecs: [4, 1920] LONG/START/SHORT/STOP analysis windows; short_basis:
+    [240, 120] windowed; seq: [S] window sequence of this AU.
+    Long path: per-stream window vector x one shared basis matmul.
+    Short path: 8 strided 240-frames x one [240,120] matmul, emitted
+    window-major [8*120]; selected per stream."""
+    from . import tables as AT
+    x = jnp.concatenate([prev, cur], axis=-1)             # [S, ch, 1920]
+    w = jnp.take(wvecs, seq, axis=0)[:, None, :]          # [S, 1, 1920]
+    spec_long = (x * w) @ cos_basis
+    frames = jnp.stack(
+        [x[..., AT.SHORT_OFFSET + 120 * i: AT.SHORT_OFFSET + 120 * i + 240]
+         for i in range(8)], axis=-2)                     # [S, ch, 8, 240]
+    spec_short = (frames @ short_basis).reshape(spec_long.shape)
+    is_short = (seq == 2)[:, None, None]
+    return jnp.where(is_short, spec_short, spec_long)
+
+
 def band_energy(spec, band_m):
     """spec [..., 960], band_m [NB, 960] -> [..., NB]"""
     return (spec * spec) @ band_m.T
 
 
+class BandCtx:
+    """Per-stream long/short band-domain dispatch.
+
+    All band reductions/broadcasts compute both static variants (long sfb
+    ladder and grouped short-block ladder over the window-major layout) and
+    select per stream - the reductions are cheap bf16 MXU matmuls, and the
+    select keeps every downstream [NB]-domain shape static."""
+
+    def __init__(self, band_m, bol, short_ctx=None, is_short=None):
+        self.band_m = band_m
+        self.bol = bol
+        self.oh_l = jax.nn.one_hot(bol, NB, dtype=jnp.bfloat16)
+        self.short = short_ctx is not None and is_short is not None
+        if self.short:
+            self.band_m_s = short_ctx["band_m"]
+            self.bol_s = short_ctx["bol"]
+            self.oh_s = jax.nn.one_hot(self.bol_s, NB, dtype=jnp.bfloat16)
+            self.t = is_short  # [S] bool
+
+    def _sel(self, long_v, short_fn):
+        if not self.short:
+            return long_v
+        sv = short_fn()
+        tb = self.t.reshape(self.t.shape + (1,) * (long_v.ndim - 1))
+        return jnp.where(tb, sv, long_v)
+
+    def energy(self, spec):
+        return self._sel(band_energy(spec, self.band_m),
+                         lambda: band_energy(spec, self.band_m_s))
+
+    def reduce_f(self, x):
+        """float band sums: x [..., 960] -> [..., NB]."""
+        return self._sel(x @ self.band_m.T, lambda: x @ self.band_m_s.T)
+
+    def bsum(self, x, stride):
+        """int band sums of per-codeword costs: x [..., 960//stride]."""
+        def mm(oh):
+            return jnp.round(jnp.matmul(x.astype(jnp.bfloat16), oh[::stride],
+                                        preferred_element_type=jnp.float32))
+        out = self._sel(mm(self.oh_l), lambda: mm(self.oh_s))
+        return out.astype(jnp.int32)
+
+    def count(self, ind):
+        """violation counts: ind [..., 960, K] 0/1 bf16 -> [..., NB, K]."""
+        def mm(oh):
+            return jnp.einsum("...nc,nb->...bc", ind, oh,
+                              preferred_element_type=jnp.float32)
+        return self._sel(mm(self.oh_l), lambda: mm(self.oh_s))
+
+    def to_lines(self, band_vals):
+        """band_vals [..., NB] -> [..., 960] via band_of_line."""
+        return self._sel(band_vals[..., self.bol],
+                         lambda: band_vals[..., self.bol_s])
+
+
 def spread_thresholds(en, pt, dtype):
     """Two-pass bark-domain spreading + ATH (psy_main.cpp:950-1014 analogue).
 
-    en: [..., NB]; pt: dict with f_low/f_high/ath [NB].
+    en: [..., NB]; pt: dict with f_low/f_high/ath, each [NB] or broadcastable
+    [..., NB] (per-stream selected for long/short band ladders).
     Returns thr [..., NB]."""
     base = en * jnp.asarray(10.0 ** (-2.9), dtype)  # 29 dB best-case SNR
-    f_high = pt["f_high"]
-    f_low = pt["f_low"]
-
-    def up(carry, b):
-        t = jnp.maximum(base[..., b], carry * f_high[b - 1])
-        return t, t
+    f_high = jnp.broadcast_to(pt["f_high"], en.shape)
+    f_low = jnp.broadcast_to(pt["f_low"], en.shape)
 
     # spreading over 49 bands via small unrolled passes (cheap)
     thr = base
     for b in range(1, NB):
-        thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b - 1] * f_high[b - 1]))
+        thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b - 1] * f_high[..., b - 1]))
     for b in range(NB - 2, -1, -1):
-        thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b + 1] * f_low[b]))
+        thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b + 1] * f_low[..., b]))
     thr = jnp.maximum(thr, pt["ath"])
     thr = jnp.minimum(thr, en + 1e30 * (en == 0))  # never demand below-signal noise
     return thr
 
 
-def estimate_scf(spec_abs, thr, band_m, dtype):
+def estimate_scf(spec_abs, thr, bctx, dtype):
     """3GPP 26.403 scalefactor estimation:
     scf = 8.8585*log10(6.75*thr / ffak) with ffak = sum sqrt|X| per band."""
-    ffak = jnp.sqrt(spec_abs) @ band_m.T
+    ffak = bctx.reduce_f(jnp.sqrt(spec_abs))
     ok = ffak > 0
     scf = 8.8585 * (jnp.log10(jnp.maximum(6.75 * thr, 1e-30))
                     - jnp.log10(jnp.maximum(ffak, 1e-30)))
@@ -175,15 +248,15 @@ _LEN_PAIR910 = np.stack([AT.HUFF_LEN[9].reshape(-1), AT.HUFF_LEN[10].reshape(-1)
 _LEN_PAIR11 = AT.HUFF_LEN[11].reshape(-1)
 
 
-def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
+def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False):
     """Per-band best codebook + bit cost (bit_cnt.cpp re-expression).
 
-    q: [..., 960] int32.  Returns (books [..., NB], bits [..., NB]).
+    q: [..., 960] int32; bctx: BandCtx; bandsel: [..., NB] valid-band mask.
+    Returns (books [..., NB], bits [..., NB]).
     Tables are flattened so every codebook costs a single small gather; band
     reductions ride the MXU as f32 matmuls.
     """
     aq = jnp.abs(q)
-    oh = jax.nn.one_hot(band_of_line, NB, dtype=jnp.bfloat16)  # [960, NB]
 
     # per-book validity via violation COUNTS instead of a per-band max (the
     # [.., 960, NB] max tensor was the bandwidth hot spot): for each distinct
@@ -191,8 +264,7 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
     # (0/1 values and small-int tables are exact in bf16; accumulate in f32)
     lav_dist = jnp.asarray([0, 1, 2, 4, 7, 12], jnp.int32)
     ind = (aq[..., None] > lav_dist).astype(jnp.bfloat16)     # [.., 960, 6]
-    cnt = jnp.einsum("...nc,nb->...bc", ind, oh,
-                     preferred_element_type=jnp.float32)      # [.., NB, 6]
+    cnt = bctx.count(ind)                                     # [.., NB, 6]
     ok_dist = cnt < 0.5
     # book -> distinct-lav column: 0:0, 1/2:1, 3/4:2, 5/6:3, 7/8:4, 9/10:5,
     # 11: always valid (q is clipped to the book-11 escape limit)
@@ -209,18 +281,14 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
     aq4 = aq.reshape(*shp, 240, 4)
     q2 = q.reshape(*shp, 480, 2)
     aq2 = aq.reshape(*shp, 480, 2)
-    oh4 = oh[::4]  # [240, NB] (quads never straddle bands: widths %4 == 0)
-    oh2 = oh[::2]
+    # quads/pairs never straddle bands: sfb widths %4 == 0 in both the long
+    # ladder and the window-major short layout (window starts are %4 == 0)
 
     def bsum4(x):
-        return jnp.round(jnp.matmul(x.astype(jnp.bfloat16), oh4,
-                                    preferred_element_type=jnp.float32)
-                         ).astype(jnp.int32)
+        return bctx.bsum(x, 4)
 
     def bsum2(x):
-        return jnp.round(jnp.matmul(x.astype(jnp.bfloat16), oh2,
-                                    preferred_element_type=jnp.float32)
-                         ).astype(jnp.int32)
+        return bctx.bsum(x, 2)
 
     signs4 = jnp.sum(aq4 != 0, axis=-1)
     signs2 = jnp.sum(aq2 != 0, axis=-1)
@@ -269,7 +337,6 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
         bsum2(l9), bsum2(l10), bsum2(l11),
     ], axis=-1)  # [..., NB, 12]
 
-    bandsel = jnp.arange(NB) < max_sfb[..., None]
     big = jnp.asarray(1 << 20, jnp.int32)
     cost = jnp.where(ok, bits, big)
     if return_cost:
@@ -283,34 +350,46 @@ def spectral_bits_and_books(q, band_of_line, max_sfb, dtype, return_cost=False):
     return books, bbits
 
 
-SECT_BITS = 4 + 5  # sect_cb + sect_len per section header
+SECT_BITS = 4 + 5       # sect_cb + sect_len (long windows)
+SECT_BITS_SHORT = 4 + 3  # sect_len is 3 bits for EIGHT_SHORT
 
 
-def optimal_books(cost, bandsel):
+def optimal_books(cost, bandsel, sect_bits=None, force_break=None):
     """Jointly optimal per-band codebooks under sectioning (dyn_bits.cpp
     noiseless-coder analogue): DP over bands where staying in the previous
     section is free and starting a new one costs a section header.  Merging
     can pick a non-minimal book for a band when that saves more header bits
     than it costs in spectrum bits.
 
-    cost: [..., NB, 12] per-band per-book spectral bits (invalid = big).
+    cost: [..., NB, 12] per-band per-book spectral bits (invalid = big);
+    sect_bits: scalar or [..., 1] per-stream section-header cost;
+    force_break: optional [..., NB] bool - sections may not continue across
+    these bands (short-block window groups restart section_data).
     Returns books [..., NB] int32."""
     nbk = cost.shape[-1]
-    dp0 = cost[..., 0, :] + SECT_BITS
+    if sect_bits is None:
+        sect_bits = jnp.asarray(SECT_BITS, jnp.int32)  # scalar or [..., 1]
+    dp0 = cost[..., 0, :] + sect_bits
+
+    if force_break is None:
+        force_break = jnp.zeros(cost.shape[:-1], bool)
 
     def fwd(dp, xs):
-        c_b, sel_b = xs  # [..., 12], [..., 1]
+        c_b, sel_b, fb_b = xs  # [..., 12], [..., 1], [..., 1]
         best = dp.min(-1, keepdims=True)
         bestj = dp.argmin(-1).astype(jnp.int32)
-        new = best + SECT_BITS
-        stayed = dp <= new
-        dp2 = c_b + jnp.minimum(dp, new)
+        new = best + sect_bits
+        stayed = (dp <= new) & ~fb_b
+        dp2 = c_b + jnp.where(fb_b, new, jnp.minimum(dp, new))
         dp2 = jnp.where(sel_b, dp2, dp)  # beyond max_sfb: carry through
         return dp2, (stayed, bestj)
 
     cost_t = jnp.moveaxis(cost, -2, 0)           # [NB, ..., 12]
     sel_t = jnp.moveaxis(bandsel, -1, 0)[..., None]
-    dpF, (stayed, bestj) = jax.lax.scan(fwd, dp0, (cost_t[1:], sel_t[1:]))
+    fb_t = jnp.moveaxis(force_break, -1, 0)[..., None]
+    fb_t = jnp.broadcast_to(fb_t, sel_t.shape)
+    dpF, (stayed, bestj) = jax.lax.scan(fwd, dp0, (cost_t[1:], sel_t[1:],
+                                                   fb_t[1:]))
 
     kT = dpF.argmin(-1).astype(jnp.int32)
 
@@ -327,26 +406,43 @@ def optimal_books(cost, bandsel):
     return jnp.moveaxis(books, 0, -1)
 
 
-def side_info_bits(books, gains, max_sfb, dtype):
-    """Section + scalefactor-dpcm + fixed ICS bits for one channel's ICS."""
+def side_info_bits(books, gains, bandsel, dtype, sect_hdr=None,
+                   force_break=None, is_short=None):
+    """Section + scalefactor-dpcm + fixed ICS bits for one channel's ICS.
+
+    bandsel: [..., NB] valid-band mask; sect_hdr: per-stream section header
+    cost ([..., ] int, default 4+5); force_break: bands where a new section
+    must start (short window-group starts); is_short: [...] bool selecting
+    the 3-bit sect_len escape rule."""
     nb = books.shape[-1]
-    bandsel = jnp.arange(nb) < max_sfb[..., None]
     books_m = jnp.where(bandsel, books, -1)
-    # sections: runs of equal codebook within [0, max_sfb)
+    if sect_hdr is None:
+        sect_hdr = jnp.asarray(4 + 5, jnp.int32)
+    # sections: runs of equal codebook within the valid bands
     prev = jnp.concatenate([jnp.full(books_m.shape[:-1] + (1,), -2, books_m.dtype),
                             books_m[..., :-1]], axis=-1)
     new_sect = (books_m != prev) & bandsel
+    if force_break is not None:
+        new_sect = new_sect | (jnp.broadcast_to(force_break, bandsel.shape)
+                               & bandsel)
     n_sect = new_sect.sum(-1)
-    sect_bits = n_sect * (4 + 5)
-    # a run of length L costs 5*(L//31) extra escape fields; band b adds one
-    # exactly when its distance from the run start is 30 mod 31 (no run-length
-    # histogram needed - one cummax + elementwise)
+    sect_bits = n_sect * sect_hdr
+    # a run of length L costs len_bits*(L//esc_val) extra escape fields; band
+    # b adds one exactly when its distance from the run start hits the escape
+    # value (no run-length histogram needed - one cummax + elementwise)
     idxs = jnp.arange(nb)
     run_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(new_sect, idxs, -1), axis=-1)
     d = idxs - run_start
-    esc = bandsel & (run_start >= 0) & (d % 31 == 30)
-    sect_bits = sect_bits + 5 * esc.sum(-1)
+    esc_l = bandsel & (run_start >= 0) & (d % 31 == 30)
+    if is_short is not None:
+        esc_s = bandsel & (run_start >= 0) & (d % 7 == 6)
+        esc_cnt = jnp.where(is_short, esc_s.sum(-1), esc_l.sum(-1))
+        esc_w = jnp.where(is_short, 3, 5)
+    else:
+        esc_cnt = esc_l.sum(-1)
+        esc_w = 5
+    sect_bits = sect_bits + esc_w * esc_cnt
 
     # scalefactor dpcm over non-zero bands
     nz = (books_m > 0)
@@ -380,31 +476,62 @@ def side_info_bits(books, gains, max_sfb, dtype):
     return sect_bits + scf_bits + fixed
 
 
-def ms_transform(spec, band_m, bol, max_sfb, dtype):
+def ms_transform(spec, bctx, bandsel, dtype):
     """Per-band mid/side decision + transform (ms_stereo.cpp analogue).
 
     spec: [S, 2, 960] -> (spec', ms_used [S, NB])."""
     m = 0.5 * (spec[:, 0] + spec[:, 1])
     s = 0.5 * (spec[:, 0] - spec[:, 1])
-    en_lr = band_energy(spec[:, 0], band_m) + band_energy(spec[:, 1], band_m)
-    en_ms = band_energy(m, band_m) + band_energy(s, band_m)
-    use = (en_ms < 0.8 * en_lr) & (jnp.arange(NB) < max_sfb[:, None])
-    use_l = use[..., bol]  # [S, 960]
+    en_lr = bctx.energy(spec[:, 0]) + bctx.energy(spec[:, 1])
+    en_ms = bctx.energy(m) + bctx.energy(s)
+    use = (en_ms < 0.8 * en_lr) & bandsel
+    use_l = bctx.to_lines(use)  # [S, 960]
     out = jnp.stack([jnp.where(use_l, m, spec[:, 0]),
                      jnp.where(use_l, s, spec[:, 1])], axis=1)
     return out, use
 
 
 def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
-              tns_cfg=None, transient=None):
+              tns_cfg=None, transient=None, short_ctx=None, is_short=None):
     """Rate-controlled quantization of one AU for all streams.
 
-    spec: [S, ch, 960]; budget_bits: [S].
+    spec: [S, ch, 960] (window-major [8x120] layout for short-block
+    streams); budget_bits: [S]; short_ctx: static short-block tables from
+    tables.make_short_ctx; is_short: [S] bool (window_sequence == SHORT).
     Returns dict(q [S,ch,960], gains [S,ch,NB], books [S,ch,NB], bits [S],
     ms_used [S, NB])."""
+    S, n_ch_s, _ = spec.shape
+    if short_ctx is None:
+        is_short = None
+    bctx = BandCtx(band_m, bol, short_ctx, is_short)
+
+    # per-stream band metadata: long sfb ladder vs grouped short ladder
+    bandsel_l = jnp.arange(NB) < max_sfb[:, None]              # [S, NB]
+    if short_ctx is not None:
+        t1 = is_short[:, None]
+        bandsel = jnp.where(t1, short_ctx["bandsel"][None], bandsel_l)
+        force_break = t1 & short_ctx["force_break"][None]      # [S, NB]
+        sect_hdr = jnp.where(is_short, SECT_BITS_SHORT, SECT_BITS)  # [S]
+        nbands_tx = jnp.where(is_short, short_ctx["nbands_tx"], max_sfb)
+        ics_fixed = jnp.where(is_short, 15, 11)  # short ics_info: +4-bit
+        # max_sfb +7-bit scale_factor_grouping
+        pt_sel = {k: jnp.where(is_short[:, None, None],
+                               short_ctx["pt"][k][None, None],
+                               jnp.asarray(pt[k])[None, None])
+                  for k in ("f_low", "f_high", "ath")}
+        nlines = jnp.where(t1, short_ctx["nlines"][None],
+                           jnp.maximum(band_m.sum(-1), 1.0)[None])[:, None]
+    else:
+        bandsel = bandsel_l
+        force_break = None
+        sect_hdr = jnp.asarray(SECT_BITS, jnp.int32)
+        nbands_tx = max_sfb
+        ics_fixed = 11
+        pt_sel = pt
+        nlines = jnp.maximum(band_m.sum(-1), 1.0)
+
     # TNS first: the decoder applies MS reconstruction before TNS synthesis,
     # so the encoder filters L/R before the MS transform
-    S, n_ch_s, _ = spec.shape
     if tns_cfg is not None:
         tns_en, tns_order, tns_idx, ah = tns_analysis(
             spec, tns_cfg["start_line"], tns_cfg["stop_line"], dtype)
@@ -413,6 +540,10 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             # gain, but shaping noise into their (flat) temporal envelope
             # only hurts - gate on a real time-domain attack
             tns_en = tns_en & transient
+        if is_short is not None:
+            # short blocks already confine noise to 5 ms windows; our TNS
+            # filter range/syntax is long-window only
+            tns_en = tns_en & ~is_short[:, None]
         spec = tns_filter(spec, ah, tns_en, tns_cfg["start_line"],
                           tns_cfg["stop_line"])
         tns_bits = jnp.where(tns_en, 16 + 4 * tns_order, 0)  # [S, ch]
@@ -424,19 +555,17 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
 
     ms_used = jnp.zeros(spec.shape[:1] + (NB,), bool)
     if spec.shape[1] == 2:
-        spec, ms_used = ms_transform(spec, band_m, bol, max_sfb, dtype)
-    en = band_energy(spec, band_m)
-    thr = spread_thresholds(en, pt, dtype)
-    scf0 = estimate_scf(jnp.abs(spec), thr, band_m, dtype)
-    ics_fixed = 11  # ics_info bits (shared when CPE common_window)
-    # CPE: +1 common_window, +2 ms_mask_present, +max_sfb ms_used bits
+        spec, ms_used = ms_transform(spec, bctx, bandsel, dtype)
+    en = bctx.energy(spec)
+    thr = spread_thresholds(en, pt_sel, dtype)
+    scf0 = estimate_scf(jnp.abs(spec), thr, bctx, dtype)
+    # CPE: +1 common_window, +2 ms_mask_present, + per-band ms_used bits
     elem_fixed = jnp.where(n_ch == 2,
-                           3 + 4 + 1 + 2 + ics_fixed + max_sfb,
+                           3 + 4 + 1 + 2 + ics_fixed + nbands_tx,
                            3 + 4 + ics_fixed)
 
     # rate-pressure weighting: weak bands lose precision faster than dominant
     # ones (the effect of adj_thr.cpp's avoid-hole logic, re-expressed)
-    nlines = jnp.maximum(band_m.sum(-1), 1.0)
     line_db = 10.0 * jnp.log10(jnp.maximum(en / nlines, 1e-10))
     peak_db = line_db.max(-1, keepdims=True)
     offw = 0.35 + 0.65 * jnp.clip((peak_db - line_db) / 18.0, 0.0, 2.5)  # [S,ch,NB]
@@ -444,25 +573,33 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     # |x|^(3/4) computed once; the rate loop only rescales by 2^(-3/16 gain)
     mag075 = jnp.power(jnp.abs(spec), 0.75)
     neg = spec < 0
+    bandsel_c = bandsel[:, None]                  # [S, 1, NB] per channel
+    fb_c = force_break[:, None] if force_break is not None else None
+    sect_hdr_c = sect_hdr[..., None] if short_ctx is not None else sect_hdr
+    is_short_c = is_short[:, None] if is_short is not None else None
 
     def count_for_gains(gains, use_dp=True):
         """Quantize + exact bit count at explicit per-band gains.  With
         use_dp the sectioning DP (dyn_bits analogue) finds jointly-optimal
         codebooks; without it the per-band argmin is a safe upper bound
         (used in the coarse bracket pass only)."""
-        scale = jnp.exp2(-0.1875 * gains.astype(dtype))[..., bol]
+        scale = bctx.to_lines(jnp.exp2(-0.1875 * gains.astype(dtype)))
         q = jnp.clip(jnp.floor(mag075 * scale + 0.4054).astype(jnp.int32), 0, 8191)
         q = jnp.where(neg, -q, q)
         if use_dp:
-            cost, bsel = spectral_bits_and_books(q, bol, max_sfb[:, None],
-                                                 dtype, return_cost=True)
-            books = optimal_books(cost, bsel)
+            cost, _ = spectral_bits_and_books(q, bctx, bandsel_c,
+                                              dtype, return_cost=True)
+            sb = sect_hdr_c[..., None] if short_ctx is not None else SECT_BITS
+            books = optimal_books(cost, bandsel_c, sect_bits=sb,
+                                  force_break=fb_c)
             bbits = jnp.take_along_axis(cost, books[..., None], -1)[..., 0]
-            books = jnp.where(bsel, books, 0)
-            bbits = jnp.where(bsel, bbits, 0)
+            books = jnp.where(bandsel_c, books, 0)
+            bbits = jnp.where(bandsel_c, bbits, 0)
         else:
-            books, bbits = spectral_bits_and_books(q, bol, max_sfb[:, None], dtype)
-        side = side_info_bits(books, gains, max_sfb[:, None], dtype)
+            books, bbits = spectral_bits_and_books(q, bctx, bandsel_c, dtype)
+        side = side_info_bits(books, gains, bandsel_c, dtype,
+                              sect_hdr=sect_hdr_c, force_break=fb_c,
+                              is_short=is_short_c)
         ch_bits = (bbits.sum(-1) + side + tns_bits)  # [S, ch]
         total = ch_bits.sum(-1) + elem_fixed + 3  # + ID_END
         total = total + 7  # byte-align worst case
@@ -505,17 +642,16 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     # worst measured noise-to-masking ratio, keeping only rounds that still
     # fit the budget exactly
     x_abs = jnp.abs(spec)
-    bandsel = jnp.arange(NB) < max_sfb[:, None, None]
     thr_f = jnp.maximum(thr, 1e-10)
 
     def refine(carry, _):
         q, gains, books, bits = carry
         deq = jnp.power(jnp.abs(q).astype(dtype), 4.0 / 3.0) * \
-            jnp.exp2(0.25 * gains.astype(dtype))[..., bol]
+            bctx.to_lines(jnp.exp2(0.25 * gains.astype(dtype)))
         err = (x_abs - deq) ** 2
-        nmr = (err @ band_m.T) / thr_f
+        nmr = bctx.reduce_f(err) / thr_f
         gmax = gains.max(-1, keepdims=True)
-        can = bandsel & (gains > gmax - 60)
+        can = bandsel_c & (gains > gmax - 60)
         nmr = jnp.where(can, nmr, -jnp.inf)
         _, ti = jax.lax.top_k(nmr, REFINE_BANDS)  # [S, ch, K]
         dec = (ti[..., None] == jnp.arange(NB)).any(-2)

@@ -62,13 +62,17 @@ class DabPlusEncoder:
         # PS downmixes to mono; plain SBR keeps the channel count (stereo
         # SBR = CPE core + sbr_channel_pair_element)
         self.core_channels = 1 if self.is_ps else cfg.channels
-        self.basis = jnp.asarray(AT.mdct_matrix(), dtype)
+        self.cos_basis = jnp.asarray(AT.long_cos_basis(), dtype)
+        self.wvecs = jnp.asarray(AT.window_vectors(), dtype)
+        self.short_basis = jnp.asarray(AT.short_cos_basis(), dtype)
         self.band_m = jnp.asarray(AT.band_matrix(rate), dtype)
         self.bol = jnp.asarray(AT.band_of_line(rate))
         pt_np = AT.band_psy_tables(rate)
         self.pt = {k: jnp.asarray(v, dtype) for k, v in pt_np.items() if k != "nbands"}
         self.nbands = pt_np["nbands"]
         self.sfb_off = AT.sfb_offsets(rate)
+        self.sfb_off_short = AT.sfb_short_offsets(rate)
+        self.nsfb_short = len(self.sfb_off_short) - 1
         # bandwidth limit by per-channel bitrate (bandwidth.cpp analogue)
         br_per_ch = cfg.bitrate / cfg.channels
         if self.is_sbr:
@@ -84,6 +88,26 @@ class DabPlusEncoder:
             bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.24)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
+        # short-block context (block switching): grouped {4,4} band ladder
+        self.max_sfb_short = int(np.searchsorted(
+            self.sfb_off_short * rate / (2 * AT.NS), bw_hz)) - 1
+        self.max_sfb_short = max(2, min(self.max_sfb_short, self.nsfb_short))
+        nsfb, msfb = self.nsfb_short, self.max_sfb_short
+        nbb = AT.N_GROUPS * nsfb
+        idxs = np.arange(E.NB)
+        band_m_s = AT.short_band_matrix(rate)
+        pt_s_np = AT.short_band_psy_tables(rate)
+        self.short_ctx = {
+            "band_m": jnp.asarray(band_m_s, dtype),
+            "bol": jnp.asarray(AT.short_band_of_line(rate)),
+            "pt": {k: jnp.asarray(pt_s_np[k], dtype)
+                   for k in ("f_low", "f_high", "ath")},
+            "bandsel": jnp.asarray((idxs < nbb) & (idxs % nsfb < msfb)),
+            "force_break": jnp.asarray((idxs % nsfb == 0) & (idxs > 0)
+                                       & (idxs < nbb)),
+            "nbands_tx": AT.N_GROUPS * msfb,
+            "nlines": jnp.asarray(np.maximum(band_m_s.sum(-1), 1.0), dtype),
+        }
         # TNS static config: filter range [start line, stop line) and the
         # length code written in tns_data (decoder: StartBand = total - length,
         # stop clamped to min(total, tns_max_bands, max_sfb),
@@ -113,23 +137,47 @@ class DabPlusEncoder:
         self._step = jax.jit(self._superframe_step)
 
     def init_state(self):
-        st = {"prev": jnp.zeros((self.S, self.core_channels, AT.N), self.dtype)}
+        from . import blockswitch as BS
+        st = {"prev": jnp.zeros((self.S, self.core_channels, AT.N), self.dtype),
+              "pend": jnp.zeros((self.S, self.cfg.channels,
+                                 self.cfg.au_samples), self.dtype)}
         if self.is_sbr:
             st["ds_hist"] = jnp.zeros((self.S, self.core_channels, 62), self.dtype)
+        st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
         return st
 
     def _superframe_step(self, state, pcm):
-        """pcm: [S, ch, num_aus*au_samples] int16 -> (state, outputs dict)."""
+        """pcm: [S, ch, num_aus*au_samples] int16 -> (state, outputs dict).
+
+        The encoder carries one AU of delay (state["pend"]) so block
+        switching has a true look-ahead granule, mirroring the reference's
+        one-frame psychoacoustic delay (psy buffer in psy_main.cpp)."""
+        from . import blockswitch as BS
         from . import sbr as SBR
         cfg = self.cfg
         S, ch, n = pcm.shape
         nau = cfg.num_aus
-        x = pcm.astype(self.dtype)  # int16-scaled units
+        x_new = pcm.astype(self.dtype)  # int16-scaled units
+
+        # block-switching decisions: attacks measured on the UNDELAYED input
+        # provide the look-ahead flags for the delayed (coded) granules
+        wl = cfg.au_samples // 8
+        wseq, state = BS.block_switch(x_new, state, wl, self.dtype)  # [nau, S]
+
+        x = jnp.concatenate([state["pend"], x_new[..., :-cfg.au_samples]], -1)
+        state = dict(state, pend=x_new[..., -cfg.au_samples:])
 
         sbr_out = {}
         if self.is_ps:
-            # parametric stereo: IID from L/R, then mono downmix feeds SBR+core
-            aus_lr = x.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
+            # parametric stereo: IID from L/R, then mono downmix feeds SBR+core.
+            # The decoder interpolates each AU's PS parameters from the
+            # previous set across the AU, so the effective image lags half an
+            # AU; measure IID on windows centred at each coded AU's END (the
+            # undelayed input provides the half-AU look-ahead).
+            half = cfg.au_samples // 2
+            nxt = x_new[..., -cfg.au_samples:-cfg.au_samples + half]
+            x_ps = jnp.concatenate([x[..., half:], nxt], -1)
+            aus_lr = x_ps.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
             iid, icc = SBR.iid_parameters(aus_lr[:, :, 0], aus_lr[:, :, 1],
                                           cfg.sample_rate, self.dtype)
             sbr_out["ps_iid"] = jnp.moveaxis(iid, 0, 1)  # [S, nau, 10]
@@ -175,8 +223,10 @@ class DabPlusEncoder:
 
         def au_body(carry, xs):
             leftover = carry
-            prev, cur = xs
-            spec = E.mdct_frame(prev, cur, self.basis, self.dtype)
+            prev, cur, seq = xs
+            spec = E.mdct_frame_switched(prev, cur, self.cos_basis,
+                                         self.wvecs, self.short_basis,
+                                         seq, self.dtype)
             # time-domain transience over 8 sub-blocks of the granule (the
             # TNS gate; tns_detect-style attack measure)
             sub = cur.reshape(cur.shape[0], cur.shape[1], 8, AT.N // 8)
@@ -184,13 +234,16 @@ class DabPlusEncoder:
             transient = se.max(-1) > 6.0 * (se.mean(-1) + 1.0)
             o = E.encode_au(spec, self.pt, self.band_m, self.bol,
                             max_sfb, budget + leftover, nch, self.dtype,
-                            tns_cfg=self.tns_cfg, transient=transient)
+                            tns_cfg=self.tns_cfg, transient=transient,
+                            short_ctx=self.short_ctx, is_short=seq == 2)
             leftover = jnp.maximum(budget + leftover - o["bits"], 0).astype(jnp.int32)
+            o["wseq"] = seq
             return leftover, {k: o[k] for k in
                               ["q", "gains", "books", "bits", "ms_used",
-                               "tns_en", "tns_order", "tns_idx"]}
+                               "tns_en", "tns_order", "tns_idx", "wseq"]}
 
-        _, out = jax.lax.scan(au_body, jnp.zeros((S,), jnp.int32), (prevs, grans))
+        _, out = jax.lax.scan(au_body, jnp.zeros((S,), jnp.int32),
+                              (prevs, grans, wseq))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
         out.update(sbr_out)
         return dict(state, prev=grans[-1]), out
@@ -228,11 +281,16 @@ class DabPlusEncoder:
         if add_rs is None:
             add_rs, pads = getattr(self, "_pack_args", (True, None))
         out = {k: np.asarray(v) for k, v in out.items()}
-        if use_native:
+        if use_native and not (out.get("wseq") is not None
+                               and (out["wseq"] == 2).any()):
+            # TODO: teach the native packer EIGHT_SHORT syntax; superframes
+            # containing a short AU take the Python writer for now
             from ..host import native
             frames = native.dabplus_pack_batch(self, out, pads, add_rs)
             if frames is not None:
                 return frames
+        short_info = {"nsfb": self.nsfb_short, "max_sfb": self.max_sfb_short,
+                      "sfb_off": self.sfb_off_short}
         frames = []
         for s in range(self.S):
             aus = []
@@ -247,7 +305,9 @@ class DabPlusEncoder:
                 bw = write_au(out["q"][s, a], out["gains"][s, a],
                               out["books"][s, a], self.max_sfb,
                               self.sfb_off, self.core_channels,
-                              ms_used=out["ms_used"][s, a], tns=tns)
+                              ms_used=out["ms_used"][s, a], tns=tns,
+                              wseq=int(out["wseq"][s, a]),
+                              short_info=short_info)
                 if pads is not None and pads[s][a]:
                     from ..host.aacpack import write_dse
                     write_dse(bw, pads[s][a])

@@ -58,6 +58,93 @@ def mdct_matrix(n=N, dtype=np.float64):
     return (2.0 * win * basis).astype(dtype)
 
 
+NS = 120           # short transform length (960/8)
+N_GROUPS = 2       # fixed {4,4} window grouping (the reference's sync
+                   # fallback grouping, block_switch.cpp:526-530); groups are
+                   # static so the grouped-band structure is batch-uniform
+GROUP_OF_WINDOW = np.repeat(np.arange(N_GROUPS), 8 // N_GROUPS)
+SCF_GROUPING = 0b1110111  # 7 bits: window i+1 in same group as window i
+
+
+def sfb_short_offsets(rate):
+    w = SFB_SHORT[rate]
+    off = np.zeros(len(w) + 1, np.int32)
+    off[1:] = np.cumsum(w)
+    return off
+
+
+def short_band_matrix(rate, nbands=MAX_SFB_LONG):
+    """[nbands, 960] one-hot rows for grouped short-block bands over the
+    WINDOW-MAJOR short spectrum layout [8 windows x 120 lines].  Band
+    (g, b) -> row g*nsfb + b covers sfb b's lines in each window of group g.
+    All sfb widths are %4 == 0 and windows start at %4 offsets, so Huffman
+    quads/pairs never straddle window chunks and device-side bit counts over
+    this layout equal counts over the transmitted (interleaved) order."""
+    off = sfb_short_offsets(rate)
+    nsfb = len(off) - 1
+    m = np.zeros((nbands, N), np.float32)
+    for w in range(8):
+        g = GROUP_OF_WINDOW[w]
+        for b in range(nsfb):
+            m[g * nsfb + b, w * NS + off[b]: w * NS + off[b + 1]] = 1.0
+    return m
+
+
+def short_band_of_line(rate):
+    off = sfb_short_offsets(rate)
+    nsfb = len(off) - 1
+    out = np.zeros(N, np.int32)
+    for w in range(8):
+        g = GROUP_OF_WINDOW[w]
+        for b in range(nsfb):
+            out[w * NS + off[b]: w * NS + off[b + 1]] = g * nsfb + b
+    return out
+
+
+def long_cos_basis(dtype=np.float64):
+    """Unwindowed [1920, 960] forward MDCT basis (factor 2 as mdct_matrix);
+    the window is applied per stream as a [1920] vector so START/STOP/LONG
+    shapes share one matmul."""
+    ns = np.arange(2 * N)[:, None].astype(np.float64)
+    ks = np.arange(N)[None, :].astype(np.float64)
+    return (2.0 * np.cos(np.pi / N * (ns + 0.5 + N / 2.0) * (ks + 0.5))).astype(dtype)
+
+
+def short_cos_basis(dtype=np.float64):
+    """Windowed [240, 120] short MDCT basis (sine window, factor 2)."""
+    ns = np.arange(2 * NS)[:, None].astype(np.float64)
+    ks = np.arange(NS)[None, :].astype(np.float64)
+    win = np.sin(np.pi / (2 * NS) * (ns + 0.5))
+    return (2.0 * win * np.cos(np.pi / NS * (ns + 0.5 + NS / 2.0) * (ks + 0.5))).astype(dtype)
+
+
+SHORT_OFFSET = (N - NS) // 2  # 420: first short window start in [prev||cur]
+
+
+def window_vectors(dtype=np.float64):
+    """[4, 1920] analysis windows for LONG/START/SHORT/STOP sequences (sine
+    shape throughout; window_shape=0 is signalled for every frame).  The
+    SHORT row is unused (the short path has its own windowed basis)."""
+    n = np.arange(2 * N)
+    long_rise = np.sin(np.pi / (2 * N) * (n[:N] + 0.5))
+    short_rise = np.sin(np.pi / (2 * NS) * (np.arange(NS) + 0.5))
+    w = np.zeros((4, 2 * N))
+    w[0] = np.sin(np.pi / (2 * N) * (n + 0.5))
+    # START: long rise | flat | short fall | zeros
+    w[1, :N] = long_rise
+    w[1, N:N + SHORT_OFFSET] = 1.0
+    w[1, N + SHORT_OFFSET:N + SHORT_OFFSET + NS] = short_rise[::-1]
+    # STOP: zeros | short rise | flat | long fall
+    w[3, SHORT_OFFSET:SHORT_OFFSET + NS] = short_rise
+    w[3, SHORT_OFFSET + NS:N] = 1.0
+    w[3, N:] = long_rise[::-1]
+    return w.astype(dtype)
+
+
+def short_band_count(rate):
+    return N_GROUPS * (len(SFB_SHORT[rate]))
+
+
 def bark(f_hz):
     f = np.maximum(f_hz, 0.0) * 0.001
     return 13.0 * np.arctan(0.76 * f) + 3.5 * np.arctan((f / 7.5) ** 2)
@@ -92,4 +179,30 @@ def band_psy_tables(rate, nbands=MAX_SFB_LONG):
     out["f_low"][:nb - 1] = f_low
     out["f_high"][:nb - 1] = f_high
     out["ath"][:nb] = ath
+    return out
+
+
+def short_band_psy_tables(rate, nbands=MAX_SFB_LONG):
+    """Short-block analogue of band_psy_tables over the grouped band layout
+    (N_GROUPS repeats of the short sfb ladder).  Spreading never crosses a
+    group boundary (groups are temporal segments)."""
+    off = sfb_short_offsets(rate)
+    nsfb = len(off) - 1
+    centers = 0.5 * (off[:-1] + off[1:]) * rate / (2.0 * NS)
+    bk = bark(centers)
+    dbark = np.diff(bk)
+    f_low1 = 10.0 ** (-3.0 * dbark)
+    f_high1 = 10.0 ** (-1.5 * dbark)
+    # short transform: a line of amplitude a has band energy ~ (NS/2) * a^2
+    ath1 = 10.0 ** (ath_db(centers) / 10.0) * (NS / 2.0)
+    out = dict(nbands=N_GROUPS * nsfb, f_low=np.zeros(nbands),
+               f_high=np.zeros(nbands), ath=np.full(nbands, 1e30))
+    for g in range(N_GROUPS):
+        b0 = g * nsfb
+        out["f_low"][b0:b0 + nsfb - 1] = f_low1
+        out["f_high"][b0:b0 + nsfb - 1] = f_high1
+        out["ath"][b0:b0 + nsfb] = ath1
+        if g + 1 < N_GROUPS:  # no spreading across the group boundary
+            out["f_low"][b0 + nsfb - 1] = 0.0
+            out["f_high"][b0 + nsfb - 1] = 0.0
     return out

@@ -87,34 +87,53 @@ def _write_tns_data(bw, order, coefs, length_code):
         bw.put(int(coefs[i]) & 0xF, 4)
 
 
-def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None):
-    """individual_channel_stream (long window, no pulse/gain_control)."""
-    nz = [b for b in range(max_sfb) if books[b] > 0]
+def _short_bands(short_info):
+    """Transmitted grouped bands for the fixed {4,4} grouping:
+    [(band_index_in_device_layout, group, sfb), ...] in coding order."""
+    nsfb, max_sfb_s = short_info["nsfb"], short_info["max_sfb"]
+    return [(g * nsfb + b, g, b)
+            for g in range(AT.N_GROUPS) for b in range(max_sfb_s)]
+
+
+def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None,
+               short_info=None, wseq=0):
+    """individual_channel_stream (no pulse/gain_control).  Long windows, or
+    EIGHT_SHORT with the fixed {4,4} grouping when short_info is given."""
+    if short_info is None:
+        tx = [(b, 0, b) for b in range(max_sfb)]
+        sect_len_bits, sect_esc = 5, 31
+    else:
+        tx = _short_bands(short_info)
+        sect_len_bits, sect_esc = 3, 7
+    nz = [gb for gb, _, _ in tx if books[gb] > 0]
     global_gain = int(gains[nz[0]]) + 100 if nz else 100
     global_gain = min(max(global_gain, 0), 255)
     bw.put(global_gain, 8)
     if include_info:
-        _write_ics_info(bw, max_sfb)
-    # section_data
-    b = 0
-    while b < max_sfb:
-        e = b
-        while e < max_sfb and books[e] == books[b]:
-            e += 1
-        bw.put(int(books[b]), 4)
-        ln = e - b
-        while ln >= 31:
-            bw.put(31, 5)
-            ln -= 31
-        bw.put(ln, 5)
-        b = e
+        _write_ics_info(bw, max_sfb, short_info, wseq)
+    # section_data: runs of equal codebook; sections restart at each group
+    n_per_group = max_sfb if short_info is None else short_info["max_sfb"]
+    for g0 in range(0, len(tx), n_per_group):
+        grp = tx[g0:g0 + n_per_group]
+        i = 0
+        while i < len(grp):
+            j = i
+            while j < len(grp) and books[grp[j][0]] == books[grp[i][0]]:
+                j += 1
+            bw.put(int(books[grp[i][0]]), 4)
+            ln = j - i
+            while ln >= sect_esc:
+                bw.put(sect_esc, sect_len_bits)
+                ln -= sect_esc
+            bw.put(ln, sect_len_bits)
+            i = j
     # scale_factor_data
     prev = global_gain - 100
-    for b in nz:
-        delta = int(gains[b]) - prev
+    for gb in nz:
+        delta = int(gains[gb]) - prev
         assert -60 <= delta <= 60, f"scf delta {delta} out of range"
         bw.put(int(AT.HUFF_CODE_SCF[delta + 60]), int(AT.HUFF_LEN_SCF[delta + 60]))
-        prev = int(gains[b])
+        prev = int(gains[gb])
     bw.put(0, 1)  # pulse_data_present
     if tns is not None and tns[0]:
         bw.put(1, 1)  # tns_data_present
@@ -122,41 +141,73 @@ def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None):
     else:
         bw.put(0, 1)  # tns_data_present
     bw.put(0, 1)  # gain_control_data_present
-    # spectral_data
-    for b in range(max_sfb):
-        if books[b] > 0:
-            _write_spectrum(bw, q, int(books[b]), int(sfb_off[b]), int(sfb_off[b + 1]))
+    # spectral_data: long = contiguous sfb ranges; short = per grouped band,
+    # the sfb's lines from each window of the group in order (the window-
+    # major device layout is chunked per window; widths %4 keep codewords
+    # from straddling chunks, so per-chunk emission is the transmitted order)
+    if short_info is None:
+        for b in range(max_sfb):
+            if books[b] > 0:
+                bw_book = int(books[b])
+                _write_spectrum(bw, q, bw_book, int(sfb_off[b]), int(sfb_off[b + 1]))
+    else:
+        off = short_info["sfb_off"]
+        wpg = 8 // AT.N_GROUPS
+        for gb, g, b in tx:
+            if books[gb] > 0:
+                for w in range(g * wpg, (g + 1) * wpg):
+                    _write_spectrum(bw, q, int(books[gb]),
+                                    w * AT.NS + int(off[b]),
+                                    w * AT.NS + int(off[b + 1]))
 
 
-def _write_ics_info(bw, max_sfb):
-    bw.put(0, 1)        # ics_reserved
-    bw.put(0, 2)        # window_sequence = ONLY_LONG
-    bw.put(0, 1)        # window_shape = sine
-    bw.put(max_sfb, 6)
-    bw.put(0, 1)        # predictor_data_present
+def _write_ics_info(bw, max_sfb, short_info=None, wseq=0):
+    bw.put(0, 1)            # ics_reserved
+    if short_info is None:
+        bw.put(wseq, 2)     # window_sequence (LONG/START/STOP)
+        bw.put(0, 1)        # window_shape = sine
+        bw.put(max_sfb, 6)
+        bw.put(0, 1)        # predictor_data_present
+    else:
+        bw.put(2, 2)        # window_sequence = EIGHT_SHORT
+        bw.put(0, 1)        # window_shape = sine
+        bw.put(short_info["max_sfb"], 4)
+        bw.put(AT.SCF_GROUPING, 7)
 
 
-def write_au(q, gains, books, max_sfb, sfb_off, n_ch, ms_used=None, tns=None):
+def write_au(q, gains, books, max_sfb, sfb_off, n_ch, ms_used=None, tns=None,
+             wseq=0, short_info=None):
     """q: [ch, 960] int; gains/books: [ch, NB]; ms_used: [NB] bool or None;
-    tns: per-channel (enabled, order, coef indices, length_code) or None.
+    tns: per-channel (enabled, order, coef indices, length_code) or None;
+    wseq: window sequence (0 LONG / 1 START / 2 EIGHT_SHORT / 3 STOP) -
+    START/STOP share the long syntax (they differ only in the analysis
+    window, which is signalled by window_sequence for the decoder's
+    overlap-add); short_info: dict(nsfb, max_sfb, sfb_off) when wseq == 2.
     Returns the AU's BitWriter (content bits only - no END/align/CRC)."""
+    si = short_info if wseq == 2 else None
     bw = BitWriter()
     if n_ch == 1:
         bw.put(0, 3)  # id_syn_ele SCE
         bw.put(0, 4)  # instance tag
         _write_ics(bw, q[0], gains[0], books[0], max_sfb, sfb_off,
-                   include_info=True, tns=tns[0] if tns else None)
+                   include_info=True, tns=tns[0] if tns else None,
+                   short_info=si, wseq=wseq)
     else:
         bw.put(1, 3)  # CPE
         bw.put(0, 4)
         bw.put(1, 1)  # common_window
-        _write_ics_info(bw, max_sfb)
+        _write_ics_info(bw, max_sfb, si, wseq)
         bw.put(1, 2)  # ms_mask_present = 1 (per-band flags)
-        for b in range(max_sfb):
-            bw.put(1 if (ms_used is not None and ms_used[b]) else 0, 1)
+        if si is None:
+            for b in range(max_sfb):
+                bw.put(1 if (ms_used is not None and ms_used[b]) else 0, 1)
+        else:
+            for gb, _, _ in _short_bands(si):
+                bw.put(1 if (ms_used is not None and ms_used[gb]) else 0, 1)
         for c in range(2):
             _write_ics(bw, q[c], gains[c], books[c], max_sfb, sfb_off,
-                       include_info=False, tns=tns[c] if tns else None)
+                       include_info=False, tns=tns[c] if tns else None,
+                       short_info=si)
     return bw
 
 

@@ -1,0 +1,112 @@
+"""Block switching: attack detection, window-sequence transitions, short-
+window coding validity and pre-echo reduction (block_switch.cpp analogue)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from odr_audioenc_tpu.dabplus import blockswitch as BS
+from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
+from odr_audioenc_tpu.fec.rs import superframe_check_rs
+
+from signals import music_like
+import fdk_ref
+
+
+def test_hp_fir_matches_iir():
+    """The truncated-FIR high pass equals the reference's sequential IIR
+    recurrence (block_switch.cpp:392-395) to float precision."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(2000) * 10000.0
+    # sequential reference
+    s0 = s1 = 0.0
+    ref = np.zeros_like(x)
+    for n in range(len(x)):
+        s1 = BS._HP_C1 * (x[n] - s0) - BS._HP_C0 * s1
+        s0 = x[n]
+        ref[n] = s1
+    enF, en, _ = BS.window_energies(
+        jnp.asarray(x, jnp.float32).reshape(1, 1, -1),
+        jnp.zeros((1, 1, BS._HP_TAPS + 1), jnp.float32), 100, jnp.float32)
+    ref_e = (ref ** 2).reshape(-1, 100).sum(-1)
+    got = np.asarray(enF[0, 0])
+    assert np.allclose(got, ref_e, rtol=1e-4)
+
+
+def test_sequence_transitions():
+    """A click triggers START -> EIGHT_SHORT -> STOP around the attack."""
+    cfg = DabPlusConfig(48000, 12, 2)
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    sig = (music_like(30)[:, :2 * 5760] * 0.02).astype(np.int16).copy()
+    sig[:, 7000:7200] = 14000  # hard attack in granule 1 of superframe 1... (delayed)
+    seqs = []
+    for i in range(2):
+        state, out = enc.encode_superframes(
+            state, sig[None, :, i * 5760:(i + 1) * 5760], pack=False)
+        seqs.extend(np.asarray(out["wseq"])[0].tolist())
+    seqs = np.array(seqs)
+    assert (seqs == BS.SHORT).any(), f"no short frame: {seqs}"
+    k = int(np.argmax(seqs == BS.SHORT))
+    assert seqs[k - 1] == BS.START
+    # after the last SHORT comes a STOP
+    last_short = len(seqs) - 1 - int(np.argmax(seqs[::-1] == BS.SHORT))
+    if last_short + 1 < len(seqs):
+        assert seqs[last_short + 1] == BS.STOP
+    # quiet signal alone never switches
+    enc2 = DabPlusEncoder(cfg, 1)
+    st2 = enc2.init_state()
+    quiet = (music_like(30)[:, :5760] * 0.02).astype(np.int16)
+    st2, out2 = enc2.encode_superframes(st2, quiet[None], pack=False)
+    assert (np.asarray(out2["wseq"]) == BS.LONG).all()
+
+
+def test_short_frames_decode_and_reduce_preecho():
+    """Superframes containing EIGHT_SHORT AUs are structurally valid, decode
+    through the reference fdk decoder, and cut pre-echo vs long-only."""
+    cfg = DabPlusConfig(48000, 12, 2)
+    sig = (music_like(30)[:, :5 * 5760] * 0.15).astype(np.int16).copy()
+    t = np.arange(300)
+    burst = (np.sin(2 * np.pi * 1500 * t / 48000) * np.hanning(300) * 16000
+             ).astype(np.int16)
+    pos = [k * 5760 + 2000 + 700 * k for k in range(4)]
+    for p in pos:
+        sig[:, p:p + 300] = burst[None, :]
+
+    def run(force_long):
+        enc = DabPlusEncoder(cfg, 1)
+        orig = BS.block_switch
+        if force_long:
+            def no_bs(x, state, wl, dtype):
+                seq, st = orig(x, state, wl, dtype)
+                return jnp.zeros_like(seq), st
+            BS.block_switch = no_bs
+        try:
+            state = enc.init_state()
+            frames, any_short = [], False
+            for i in range(5):
+                state, out = enc.encode_superframes(
+                    state, sig[None, :, i * 5760:(i + 1) * 5760],
+                    add_rs=True, pack=False)
+                o = {k: np.asarray(v) for k, v in out.items()}
+                any_short |= bool((o["wseq"] == BS.SHORT).any())
+                frames.append(enc.pack_superframes(o)[0])
+        finally:
+            BS.block_switch = orig
+        dec = fdk_ref.FdkDecoder()
+        pcm = np.concatenate(
+            [dec.decode_superframe(f[:cfg.subch * 110]) for f in frames], axis=1)
+        a, b = sig[0].astype(float), pcm[0].astype(float)
+        n = 1 << 15
+        lag = int(np.argmax(np.fft.irfft(
+            np.fft.rfft(a[:n]).conj() * np.fft.rfft(b[:n]))))
+        pre = [float((a[p - 330:p - 30] - b[lag + p - 330:lag + p - 30]).std())
+               for p in pos[:3]]
+        return frames, any_short, float(np.mean(pre))
+
+    frames, any_short, pre_bs = run(False)
+    assert any_short, "transient bursts should trigger EIGHT_SHORT frames"
+    for fr in frames:
+        assert superframe_check_rs(np.frombuffer(fr, np.uint8))
+    _, _, pre_long = run(True)
+    assert pre_bs < 0.75 * pre_long, \
+        f"pre-echo not reduced: short {pre_bs:.0f} vs long {pre_long:.0f}"

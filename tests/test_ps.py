@@ -29,10 +29,19 @@ def test_ps_loopback_stereo_image():
         core = fr[:110 * 4]
         assert core[2] & 0x20 and core[2] & 0x08      # sbr + ps flags
         assert not core[2] & 0x10                     # mono core
-    # stereo image: L/R level ratio reproduced within ~2 dB
-    in_ratio = sig[0].astype(float).std() / sig[1].astype(float).std()
-    out_ratio = b[0].astype(float).std() / b[1].astype(float).std()
+    # stereo image: L/R level ratio reproduced within ~3 dB over the
+    # lag-aligned region (the encoder carries one AU of block-switching
+    # look-ahead delay; the input image is non-stationary, so compare
+    # matching time windows)
+    a = sig.astype(float)
+    bf = b.astype(float)
+    n = 16384
+    lag = int(np.argmax(np.fft.irfft(
+        np.fft.rfft((a[0] + a[1])[:n]).conj() * np.fft.rfft((bf[0] + bf[1])[:n]))))
+    m = bf.shape[1] - lag
+    in_ratio = a[0, :m].std() / a[1, :m].std()
+    out_ratio = bf[0, lag:lag + m].std() / bf[1, lag:lag + m].std()
     assert abs(20 * np.log10(out_ratio / in_ratio)) < 3.0
     # overall level within 3 dB
-    lvl = 20 * np.log10(b.astype(float).std() / sig.astype(float).std())
+    lvl = 20 * np.log10(bf[:, lag:lag + m].std() / a[:, :m].std())
     assert abs(lvl) < 3.0

@@ -82,10 +82,16 @@ def test_stereo_sbr_loopback():
         pcm.append(dec.decode_superframe(fr[0][:110 * cfg.subch]))
     pcm = np.concatenate(pcm, axis=1)
     assert pcm.shape[0] == 2
+    # lag-align (one AU of block-switching look-ahead delay + codec delay)
+    a0 = sig[0].astype(float)
+    n = 16384
+    lag = int(np.argmax(np.fft.irfft(
+        np.fft.rfft(a0[:n]).conj() * np.fft.rfft(pcm[0, :n].astype(float)))))
+    m = pcm.shape[1] - lag
     for c in range(2):
-        ratio = pcm[c].astype(float).std() / sig[c, :pcm.shape[1]].astype(float).std()
+        ratio = pcm[c, lag:lag + m].astype(float).std() / sig[c, :m].astype(float).std()
         assert 0.7 < ratio < 1.4, f"ch{c} level ratio {ratio:.2f}"
-        d = spectral_dist(sig[c].astype(float), pcm[c].astype(float))
+        d = spectral_dist(sig[c, :m].astype(float), pcm[c, lag:lag + m].astype(float))
         assert d < 25.0, f"ch{c} spectral distortion {d:.1f} dB"
 
 
