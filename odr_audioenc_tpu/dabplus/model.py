@@ -281,10 +281,7 @@ class DabPlusEncoder:
         if add_rs is None:
             add_rs, pads = getattr(self, "_pack_args", (True, None))
         out = {k: np.asarray(v) for k, v in out.items()}
-        if use_native and not (out.get("wseq") is not None
-                               and (out["wseq"] == 2).any()):
-            # TODO: teach the native packer EIGHT_SHORT syntax; superframes
-            # containing a short AU take the Python writer for now
+        if use_native:
             from ..host import native
             frames = native.dabplus_pack_batch(self, out, pads, add_rs)
             if frames is not None:

@@ -26,9 +26,10 @@ def get_lib():
     _TRIED = True
     so = os.path.join(_DIR, "libodrhost.so")
     try:
-        src = os.path.join(_DIR, "mp2pack.cpp")
+        srcs = [os.path.join(_DIR, f) for f in os.listdir(_DIR)
+                if f.endswith((".cpp", ".h"))]
         if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+                or os.path.getmtime(so) < max(map(os.path.getmtime, srcs))):
             subprocess.run([os.path.join(_DIR, "build.sh")], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(so)
@@ -122,6 +123,10 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
     tns_idx = np.ascontiguousarray(out_np["tns_idx"], np.int32)
     tlc = enc.tns_cfg["length_code"] if enc.tns_cfg else 0
     sfb_off = np.ascontiguousarray(enc.sfb_off, np.int32)
+    wseq = np.ascontiguousarray(out_np["wseq"], np.int32) \
+        if "wseq" in out_np else None
+    sfb_off_s = np.ascontiguousarray(enc.sfb_off_short, np.int32)
+    shortp = np.asarray([enc.nsfb_short, enc.max_sfb_short], np.int32)
 
     if enc.is_sbr:
         p = enc.sbr_params
@@ -172,6 +177,8 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         ctypes.c_int(S), ctypes.c_int(nau), ctypes.c_int(ch),
         ctypes.c_int(enc.max_sfb), ctypes.c_int(nb),
         _p(sfb_off, ctypes.c_int32),
+        _p(wseq, ctypes.c_int32) if wseq is not None else None,
+        _p(sfb_off_s, ctypes.c_int32), _p(shortp, ctypes.c_int32),
         _p(q, ctypes.c_int32), _p(gains, ctypes.c_int32),
         _p(books, ctypes.c_int32),
         _p(ms, ctypes.c_uint8) if ms is not None else None,

@@ -176,51 +176,110 @@ void write_tns_data(BitWr &bw, int order, const int32_t *coefs,
   for (int i = 0; i < order; ++i) bw.put(uint32_t(coefs[i]) & 0xF, 4);
 }
 
-void write_ics_info(BitWr &bw, int max_sfb) {
+/* wseq: 0 LONG / 1 START / 2 EIGHT_SHORT / 3 STOP.  Short blocks use the
+ * fixed {4,4} window grouping (scale_factor_grouping 0x77) over the
+ * window-major device layout - see host/aacpack.py for the band map. */
+void write_ics_info(BitWr &bw, int max_sfb, int wseq, int max_sfb_s) {
   bw.put(0, 1);
-  bw.put(0, 2);
-  bw.put(0, 1);
-  bw.put(max_sfb, 6);
-  bw.put(0, 1);
+  if (wseq == 2) {
+    bw.put(2, 2);
+    bw.put(0, 1);
+    bw.put(uint32_t(max_sfb_s), 4);
+    bw.put(0x77, 7); /* {4,4} grouping */
+  } else {
+    bw.put(uint32_t(wseq), 2);
+    bw.put(0, 1);
+    bw.put(uint32_t(max_sfb), 6);
+    bw.put(0, 1);
+  }
 }
 
 void write_ics(BitWr &bw, const int32_t *q, const int32_t *gains,
                const int32_t *books, int max_sfb, const int32_t *sfb_off,
                bool include_info, bool tns_on, int tns_order,
-               const int32_t *tns_coefs, int tns_length_code) {
+               const int32_t *tns_coefs, int tns_length_code,
+               int wseq, const int32_t *sfb_off_s, int nsfb_s, int max_sfb_s) {
+  const bool is_short = (wseq == 2);
   int first_nz = -1;
-  for (int b = 0; b < max_sfb; ++b)
-    if (books[b] > 0) { first_nz = b; break; }
+  if (is_short) {
+    for (int g = 0; g < 2 && first_nz < 0; ++g)
+      for (int b = 0; b < max_sfb_s; ++b)
+        if (books[g * nsfb_s + b] > 0) { first_nz = g * nsfb_s + b; break; }
+  } else {
+    for (int b = 0; b < max_sfb; ++b)
+      if (books[b] > 0) { first_nz = b; break; }
+  }
   int gg = first_nz >= 0 ? gains[first_nz] + 100 : 100;
   gg = gg < 0 ? 0 : (gg > 255 ? 255 : gg);
   bw.put(gg, 8);
-  if (include_info) write_ics_info(bw, max_sfb);
-  for (int b = 0; b < max_sfb;) {
-    int e = b;
-    while (e < max_sfb && books[e] == books[b]) ++e;
-    bw.put(uint32_t(books[b]), 4);
-    int ln = e - b;
-    while (ln >= 31) { bw.put(31, 5); ln -= 31; }
-    bw.put(ln, 5);
-    b = e;
+  if (include_info) write_ics_info(bw, max_sfb, wseq, max_sfb_s);
+  if (is_short) {
+    /* section_data restarts per window group; 3-bit sect_len, escape 7 */
+    for (int g = 0; g < 2; ++g) {
+      const int32_t *gb = books + g * nsfb_s;
+      for (int b = 0; b < max_sfb_s;) {
+        int e = b;
+        while (e < max_sfb_s && gb[e] == gb[b]) ++e;
+        bw.put(uint32_t(gb[b]), 4);
+        int ln = e - b;
+        while (ln >= 7) { bw.put(7, 3); ln -= 7; }
+        bw.put(ln, 3);
+        b = e;
+      }
+    }
+  } else {
+    for (int b = 0; b < max_sfb;) {
+      int e = b;
+      while (e < max_sfb && books[e] == books[b]) ++e;
+      bw.put(uint32_t(books[b]), 4);
+      int ln = e - b;
+      while (ln >= 31) { bw.put(31, 5); ln -= 31; }
+      bw.put(ln, 5);
+      b = e;
+    }
   }
   int prev = gg - 100;
-  for (int b = 0; b < max_sfb; ++b) {
-    if (books[b] <= 0) continue;
-    int delta = gains[b] - prev;
-    bw.put(HC_SCF[delta + 60], HL_SCF[delta + 60]);
-    prev = gains[b];
+  if (is_short) {
+    for (int g = 0; g < 2; ++g)
+      for (int b = 0; b < max_sfb_s; ++b) {
+        int i = g * nsfb_s + b;
+        if (books[i] <= 0) continue;
+        int delta = gains[i] - prev;
+        bw.put(HC_SCF[delta + 60], HL_SCF[delta + 60]);
+        prev = gains[i];
+      }
+  } else {
+    for (int b = 0; b < max_sfb; ++b) {
+      if (books[b] <= 0) continue;
+      int delta = gains[b] - prev;
+      bw.put(HC_SCF[delta + 60], HL_SCF[delta + 60]);
+      prev = gains[b];
+    }
   }
   bw.put(0, 1);
-  if (tns_on) {
+  if (tns_on && !is_short) {
     bw.put(1, 1);
     write_tns_data(bw, tns_order, tns_coefs, tns_length_code);
   } else {
     bw.put(0, 1);
   }
   bw.put(0, 1);
-  for (int b = 0; b < max_sfb; ++b)
-    if (books[b] > 0) write_spectrum(bw, q, books[b], sfb_off[b], sfb_off[b + 1]);
+  if (is_short) {
+    /* grouped band (g,b): the sfb's lines from each window of the group,
+     * window-major chunks (widths %4 keep codewords chunk-aligned) */
+    for (int g = 0; g < 2; ++g)
+      for (int b = 0; b < max_sfb_s; ++b) {
+        int bk = books[g * nsfb_s + b];
+        if (bk <= 0) continue;
+        for (int w = g * 4; w < g * 4 + 4; ++w)
+          write_spectrum(bw, q, bk, w * 120 + sfb_off_s[b],
+                         w * 120 + sfb_off_s[b + 1]);
+      }
+  } else {
+    for (int b = 0; b < max_sfb; ++b)
+      if (books[b] > 0)
+        write_spectrum(bw, q, books[b], sfb_off[b], sfb_off[b + 1]);
+  }
 }
 
 void write_dse(BitWr &bw, const uint8_t *payload, int n) {
@@ -419,6 +478,9 @@ extern "C" {
 int dabplus_pack_batch(
     int S, int nau, int ch, int max_sfb, int nb,
     const int32_t *sfb_off,      /* [>= max_sfb+1] */
+    const int32_t *wseq,         /* [S,nau] window sequences or NULL (LONG) */
+    const int32_t *sfb_off_s,    /* [nsfb_s+1] short sfb offsets or NULL */
+    const int32_t *shortp,       /* [2]: nsfb_s, max_sfb_s (or NULL) */
     const int32_t *q,            /* [S,nau,ch,960] */
     const int32_t *gains,        /* [S,nau,ch,nb] */
     const int32_t *books,        /* [S,nau,ch,nb] */
@@ -441,6 +503,8 @@ int dabplus_pack_batch(
 {
   const int subch = sfp[0], dac_rate = sfp[1], has_sbr = sfp[2];
   const int ps = sfp[3], ch_mode = sfp[4], add_rs = sfp[5];
+  const int nsfb_s = shortp ? shortp[0] : 0;
+  const int max_sfb_s = shortp ? shortp[1] : 0;
   const int total = subch * 110;
   int hdr_bits = 16 + 8 + (nau - 1) * 12;
   if (dac_rate == 0 || has_sbr == 0) hdr_bits += 4;
@@ -474,24 +538,32 @@ int dabplus_pack_batch(
       const uint8_t *te = tns_en ? tns_en + (size_t(s) * nau + a) * ch : nullptr;
       const int32_t *to = tns_order + (size_t(s) * nau + a) * ch;
       const int32_t *ti = tns_idx + ((size_t(s) * nau + a) * ch) * 12;
+      const int wq = wseq ? wseq[size_t(s) * nau + a] : 0;
       if (ch == 1) {
         bw.put(0, 3);
         bw.put(0, 4);
         write_ics(bw, Q, G, B, max_sfb, sfb_off, true,
-                  te && te[0], to ? to[0] : 0, ti, tns_length_code);
+                  te && te[0], to ? to[0] : 0, ti, tns_length_code,
+                  wq, sfb_off_s, nsfb_s, max_sfb_s);
       } else {
         const uint8_t *MS = ms_used ? ms_used + (size_t(s) * nau + a) * nb
                                     : nullptr;
         bw.put(1, 3);
         bw.put(0, 4);
         bw.put(1, 1);
-        write_ics_info(bw, max_sfb);
+        write_ics_info(bw, max_sfb, wq, max_sfb_s);
         bw.put(1, 2);
-        for (int b = 0; b < max_sfb; ++b) bw.put(MS && MS[b] ? 1 : 0, 1);
+        if (wq == 2) {
+          for (int g = 0; g < 2; ++g)
+            for (int b = 0; b < max_sfb_s; ++b)
+              bw.put(MS && MS[g * nsfb_s + b] ? 1 : 0, 1);
+        } else {
+          for (int b = 0; b < max_sfb; ++b) bw.put(MS && MS[b] ? 1 : 0, 1);
+        }
         for (int c = 0; c < 2; ++c)
           write_ics(bw, Q + c * 960, G + c * nb, B + c * nb, max_sfb, sfb_off,
                     false, te && te[c], to ? to[c] : 0, ti + c * 12,
-                    tns_length_code);
+                    tns_length_code, wq, sfb_off_s, nsfb_s, max_sfb_s);
       }
       if (pads && pad_len) {
         int pl = pad_len[size_t(s) * nau + a];

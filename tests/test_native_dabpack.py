@@ -20,7 +20,10 @@ def test_native_dabpack_matches_python(aot, subch, ch, pad):
     rng = np.random.default_rng(11)
     cfg = DabPlusConfig(48000, subch, ch, aot=aot, pad_len=pad)
     enc = DabPlusEncoder(cfg, n_streams=2)
-    sig = signals.music_like(10, stereo=(ch == 2))[:ch]
+    sig = signals.music_like(10, stereo=(ch == 2))[:ch].copy()
+    # splice an attack so the batch contains EIGHT_SHORT/START/STOP AUs
+    # (exercises the native short-block syntax path)
+    sig[:, 2000:2200] = 16000
     n = cfg.num_aus * cfg.au_samples
     pcm = np.stack([sig[:, :n], sig[:, n:2 * n]])
     pads = None
