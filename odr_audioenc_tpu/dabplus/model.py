@@ -131,7 +131,7 @@ class DabPlusEncoder:
                                        ps=self.is_ps)
         payload = self.packer.payload_bits()
         # worst case: 2-envelope transient grid per channel
-        self.sbr_bits_est = (290 * self.core_channels) if self.is_sbr else 0
+        self.sbr_bits_est = (310 * self.core_channels) if self.is_sbr else 0
         pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
         self.budget_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
         self._step = jax.jit(self._superframe_step)
@@ -206,6 +206,12 @@ class DabPlusEncoder:
             lo = jnp.minimum(he[..., 0], he[..., 1])
             sbr_out["sbr_transient"] = jnp.moveaxis(
                 hi > 6.0 * (lo + 1.0), 0, 1)                     # [S, nau, ch]
+            # tonality side decisions: noise floor, inverse filtering,
+            # missing harmonics (ton_corr/nf_est/invf_est/mh_det roles)
+            ton = SBR.tonality_analysis(aus_full, self.sbr_params, self.dtype)
+            sbr_out["sbr_noise_q"] = jnp.moveaxis(ton["noise_q"], 0, 1)
+            sbr_out["sbr_invf"] = jnp.moveaxis(ton["invf"], 0, 1)
+            sbr_out["sbr_addharm"] = jnp.moveaxis(ton["add_harm"], 0, 1)
             # 2:1 decimation for the core (63-tap half-band, carried history)
             xx = jnp.concatenate([state["ds_hist"], x], axis=-1)
             # correlate: y[m] = sum_k h[k] * xx[2m + k]
@@ -312,15 +318,24 @@ class DabPlusEncoder:
                     env = out["sbr_env"][s, a]
                     env2 = out["sbr_env2"][s, a]
                     tr = out["sbr_transient"][s, a]
+                    nq = out["sbr_noise_q"][s, a]
+                    invf = out["sbr_invf"][s, a]
+                    ah = out["sbr_addharm"][s, a]
+                    stereo = self.core_channels == 2
 
                     def _envs(c):
                         return [env2[c, 0], env2[c, 1]] if tr[c] else [env[c]]
                     SBR.write_sbr_payload(
-                        bw, _envs(0), noise_val=12,
+                        bw, _envs(0), noise_val=int(nq[0]),
                         params=self.sbr_params,
                         ps_iid=out["ps_iid"][s, a] if self.is_ps else None,
                         ps_icc=out["ps_icc"][s, a] if self.is_ps else None,
-                        envs_r=_envs(1) if (self.core_channels == 2) else None)
+                        envs_r=_envs(1) if stereo else None,
+                        invf=int(invf[0]),
+                        invf_r=int(invf[1]) if stereo else 1,
+                        noise_val_r=int(nq[1]) if stereo else None,
+                        add_harm=ah[0],
+                        add_harm_r=ah[1] if stereo else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return frames

@@ -79,16 +79,19 @@ class SbrParams:
         self.band_hz = fs_out / 128.0
 
 
-# calibration: transmitted envelope value v (1.5 dB steps) represents
-# 2^(v/2) units of energy per QMF subband sample; measured against the fdk
-# decoder loopback with sinusoids of known level.
-ENV_OFFSET = -17.0  # calibrated against the fdk decoder loopback
+# Envelope semantics (established against the fdk decoder's
+# requantizeEnvelopeData, env_dec.cpp:585-650, and verified against the
+# values the reference encoder transmits): the value v (1.5 dB half-units)
+# satisfies v = 2*log2(E) where E is the MEAN energy of one QMF subband
+# sample in the band, with PCM in int16 units - for white noise of
+# per-sample band power P spread over the band, E = 64*P/n_subbands.
+ENV_OFFSET = 0.0  # residual trim (decoder-loopback calibrated)
 
 
 def envelope_energies(au_pcm, params, dtype=jnp.float32):
     """au_pcm: [..., n] full-rate samples of one AU (int16 scale floats).
-    Returns per-lo-res-band mean energy per QMF-sample [..., n_lo] and the
-    in-band total energy for the noise region."""
+    Returns the per-lo-res-band mean QMF-subband-sample energy [..., n_lo]
+    (the quantity the decoder's envelope adjuster targets per subband)."""
     n = au_pcm.shape[-1]
     win = jnp.asarray(np.hanning(n), dtype)
     spec = jnp.fft.rfft(au_pcm * win)
@@ -101,11 +104,12 @@ def envelope_energies(au_pcm, params, dtype=jnp.float32):
     outs = []
     for b in range(params.n_lo):
         m = (freqs >= borders_hz[b]) & (freqs < borders_hz[b + 1])
-        nb_bins = max(int(m.sum()), 1)
         band_p = (p * jnp.asarray(m, dtype)).sum(-1)
-        # energy per QMF-subband-sample: total band power / (time samples) *
-        # (2 * 64)  [one QMF sample spans 64 time samples, x2 for rfft half]
-        outs.append(band_p * (2.0 * 64.0 / n))
+        # rfft half-spectrum Parseval: sum|X|^2 ~ (n/2) * sum_t x_t^2, so
+        # per-time-sample band power P = band_p * 2 / n^2; one QMF subband
+        # sample holds 64*P/nsub (mean across the band's nsub subbands)
+        nsub = max(int(params.f_lo[b + 1] - params.f_lo[b]), 1)
+        outs.append(band_p * (2.0 * 64.0 / (float(n) * n * nsub)))
     return jnp.stack(outs, axis=-1)
 
 
@@ -113,6 +117,79 @@ def quantize_envelope(energies, dtype=jnp.float32):
     """energy -> 1.5dB-step envelope values (0..127)."""
     v = 2.0 * jnp.log2(jnp.maximum(energies, 1e-9)) + ENV_OFFSET
     return jnp.clip(jnp.round(v), 0, 127).astype(jnp.int32)
+
+
+def tonality_analysis(au_pcm, params, dtype=jnp.float32):
+    """Per-AU tonality-derived SBR side decisions (the roles of
+    ton_corr.cpp/nf_est.cpp/invf_est.cpp/mh_det.cpp, re-expressed over the
+    same batched rFFT the envelopes use).
+
+    Tonality per region is measured as T = log2(total / (median*nbins)):
+    ~0 for white noise, large for sinusoids (the median is a robust noise-
+    floor estimator, playing the part of the reference's predictability
+    quotients).  Returns dict:
+      noise_q  [...]: 5-bit noise floor scale factor (0 = all noise, 3 dB
+                      per step like the reference's Q ladder);
+      invf     [...]: bs_invf_mode 0..3 (OFF/LOW/MID/HIGH) from the
+                      low-vs-high tonality difference (invf_est.cpp's
+                      region borders);
+      add_harm [..., n_hi]: conservative missing-harmonic flags - a high
+                      band dominated by one line (peak >> band mean) whose
+                      patch source region is NOT similarly tonal.
+    """
+    n = au_pcm.shape[-1]
+    win = jnp.asarray(np.hanning(n), dtype)
+    spec = jnp.fft.rfft(au_pcm * win)
+    p = (spec.real ** 2 + spec.imag ** 2).astype(dtype)
+    nbins = p.shape[-1]
+    freqs = np.arange(nbins) * params.fs_out / n
+    f_lo_hz = params.k0 * params.band_hz
+    f_hi_hz = params.k2 * params.band_hz
+
+    def region_stats(fmin, fmax):
+        lo = int(np.searchsorted(freqs, fmin))
+        hi = max(int(np.searchsorted(freqs, fmax)), lo + 2)
+        seg = p[..., lo:hi]
+        tot = seg.sum(-1)
+        med = jnp.median(seg, axis=-1)
+        t = jnp.log2(jnp.maximum(tot, 1e-9)
+                     / jnp.maximum(med * (hi - lo), 1e-9))
+        return tot, med, t
+
+    _, _, t_lo = region_stats(0.5 * f_lo_hz, f_lo_hz)
+    tot_hi, med_hi, t_hi = region_stats(f_lo_hz, f_hi_hz)
+
+    # noise floor: Q = log2(total/noise) in 3 dB steps (nf_est.cpp ladder);
+    # median*nbins estimates the noise part of the high band
+    noise_q = jnp.clip(jnp.round(t_hi), 0, 30).astype(jnp.int32)
+
+    # inverse filtering: whiten the patch when the source region is tonal
+    # but the original high band is noise-like (invf_est.cpp's detector
+    # walks the same low/high tonality ratio)
+    d = t_lo - t_hi
+    invf = jnp.where(d > 7.0, 3,
+           jnp.where(d > 3.0, 2,
+           jnp.where(t_hi > 9.0, 0, 1))).astype(jnp.int32)
+
+    # missing harmonics: per hi-res band, a dominant isolated line that the
+    # transposer cannot produce from a noise-like source region
+    flags = []
+    for b in range(params.n_hi):
+        blo = int(np.searchsorted(freqs, params.f_hi[b] * params.band_hz))
+        bhi = max(int(np.searchsorted(freqs, params.f_hi[b + 1] * params.band_hz)),
+                  blo + 2)
+        seg = p[..., blo:bhi]
+        peak = seg.max(-1)
+        mean = seg.mean(-1)
+        # patch source ~ one octave down
+        slo = blo // 2
+        shi = max(bhi // 2, slo + 2)
+        src = p[..., slo:shi]
+        s_tonal = src.max(-1) > 30.0 * src.mean(-1)
+        strong = (peak > 120.0 * mean) & (peak * (bhi - blo) > 0.25 * tot_hi)
+        flags.append(strong & ~s_tonal)
+    add_harm = jnp.stack(flags, -1)
+    return {"noise_q": noise_q, "invf": invf, "add_harm": add_harm}
 
 
 # ---- Parametric Stereo (HE-AAC v2) ----
@@ -213,9 +290,9 @@ def _write_dtdf(sbr, n_env):
         sbr.put(0, 1)                     # bs_df_noise = FREQ
 
 
-def _write_invf(sbr, params):
+def _write_invf(sbr, params, mode=1):
     for _ in range(params.n_q):
-        sbr.put(1, 2)                     # bs_invf_mode = LOW_LEVEL
+        sbr.put(int(mode), 2)             # bs_invf_mode (OFF/LOW/MID/HIGH)
 
 
 def _write_env(sbr, envs, params):
@@ -239,7 +316,9 @@ def _write_noise(sbr, noise_val, n_env):
 
 
 def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
-                      ps_iid=None, envs_r=None, ps_icc=None):
+                      ps_iid=None, envs_r=None, ps_icc=None,
+                      invf=1, invf_r=1, noise_val_r=None, add_harm=None,
+                      add_harm_r=None):
     """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
 
     bw_target: the AU BitWriter (after the SCE/CPE).  envs: list of 1 or 2
@@ -251,6 +330,16 @@ def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
     noise L, noise R, add-harmonic flags)."""
     cpe = envs_r is not None
     nl, nr = len(envs), len(envs_r) if cpe else 0
+    if noise_val_r is None:
+        noise_val_r = noise_val
+
+    def _write_add_harm(sbr_bw, flags):
+        if flags is None or not any(bool(f) for f in flags):
+            sbr_bw.put(0, 1)              # bs_add_harmonic_flag
+        else:
+            sbr_bw.put(1, 1)
+            for b in range(params.n_hi):  # bs_add_harmonic per hi band
+                sbr_bw.put(1 if flags[b] else 0, 1)
     sbr = BitWriter()
     sbr.put(1 if write_header else 0, 1)  # bs_header_flag
     if write_header:
@@ -271,21 +360,21 @@ def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
         _write_grid(sbr, nr)              # grid R
         _write_dtdf(sbr, nl)              # dtdf L
         _write_dtdf(sbr, nr)              # dtdf R
-        _write_invf(sbr, params)          # invf L
-        _write_invf(sbr, params)          # invf R
+        _write_invf(sbr, params, invf)    # invf L
+        _write_invf(sbr, params, invf_r)  # invf R
         _write_env(sbr, envs, params)
         _write_env(sbr, envs_r, params)
         _write_noise(sbr, noise_val, nl)  # noise L
-        _write_noise(sbr, noise_val, nr)  # noise R
-        sbr.put(0, 1)                     # bs_add_harmonic_flag L
-        sbr.put(0, 1)                     # bs_add_harmonic_flag R
+        _write_noise(sbr, noise_val_r, nr)  # noise R
+        _write_add_harm(sbr, add_harm)    # sinusoidal coding L
+        _write_add_harm(sbr, add_harm_r)  # sinusoidal coding R
     else:
         _write_grid(sbr, nl)
         _write_dtdf(sbr, nl)
-        _write_invf(sbr, params)
+        _write_invf(sbr, params, invf)
         _write_env(sbr, envs, params)
         _write_noise(sbr, noise_val, nl)
-        sbr.put(0, 1)                     # bs_add_harmonic_flag
+        _write_add_harm(sbr, add_harm)
     if ps_iid is None:
         sbr.put(0, 1)                     # bs_extended_data
     else:

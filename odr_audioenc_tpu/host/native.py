@@ -136,13 +136,20 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         env_ch = env.shape[2]
         sbrp = np.asarray([p.bs_start_freq, p.bs_stop_freq, p.bs_xover_band,
                            p.bs_freq_scale, p.bs_alter_scale, p.bs_noise_bands,
-                           p.n_q, p.n_lo, 12, env_ch], np.int32)
+                           p.n_q, p.n_lo, 12, env_ch, p.n_hi], np.int32)
         env_p = _p(env, ctypes.c_int32)
         env2_p = _p(env2, ctypes.c_int32)
         trans_p = _p(trans, ctypes.c_uint8)
+        nq = np.ascontiguousarray(out_np["sbr_noise_q"], np.int32)
+        invf = np.ascontiguousarray(out_np["sbr_invf"], np.int32)
+        addh = np.ascontiguousarray(out_np["sbr_addharm"], np.uint8)
+        nq_p = _p(nq, ctypes.c_int32)
+        invf_p = _p(invf, ctypes.c_int32)
+        addh_p = _p(addh, ctypes.c_uint8)
     else:
-        sbrp = np.asarray([0] * 8 + [12, 1], np.int32)
+        sbrp = np.asarray([0] * 8 + [12, 1, 0], np.int32)
         env_p = env2_p = trans_p = None
+        nq_p = invf_p = addh_p = None
     if enc.is_ps and "ps_iid" in out_np:
         iid = np.ascontiguousarray(out_np["ps_iid"], np.int32)
         iid_p = _p(iid, ctypes.c_int32)
@@ -184,7 +191,8 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         _p(ms, ctypes.c_uint8) if ms is not None else None,
         _p(tns_en, ctypes.c_uint8), _p(tns_order, ctypes.c_int32),
         _p(tns_idx, ctypes.c_int32), ctypes.c_int(tlc),
-        env_p, env2_p, trans_p, iid_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
+        env_p, env2_p, trans_p, nq_p, invf_p, addh_p,
+        iid_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
         _p(sbrp, ctypes.c_int32), _p(sfp, ctypes.c_int32),
         _p(out, ctypes.c_uint8), ctypes.c_int(out_stride),
         _p(out_len, ctypes.c_int32))

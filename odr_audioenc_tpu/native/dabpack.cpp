@@ -345,9 +345,13 @@ void write_env(BitWr &sbr, const int32_t *env_vals, int n_lo) {
 void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
                        const int32_t *const *envs_r, int nr, int noise_val,
                        const int32_t *P /* sbr params */, bool write_header,
-                       const int32_t *ps_iid, const int32_t *ps_icc) {
+                       const int32_t *ps_iid, const int32_t *ps_icc,
+                       int invf_l = 1, int invf_r = 1, int noise_val_r = -1,
+                       const uint8_t *add_harm_l = nullptr,
+                       const uint8_t *add_harm_r = nullptr, int n_hi = 0) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
    * 5 noise_bands, 6 n_q, 7 n_lo */
+  if (noise_val_r < 0) noise_val_r = noise_val;
   uint8_t sbuf[512] = {0};
   BitWr sbr(sbuf);
   sbr.put(write_header ? 1 : 0, 1);
@@ -376,29 +380,43 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
   auto envw = [&](const int32_t *const *envs, int ne) {
     for (int e = 0; e < ne; ++e) write_env(sbr, envs[e], P[7]);
   };
-  auto noisew = [&](int ne) {
-    for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(uint32_t(noise_val), 5);
+  auto noisew = [&](int ne, int nv) {
+    for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(uint32_t(nv), 5);
+  };
+  auto invfw = [&](int mode) {
+    for (int i = 0; i < P[6]; ++i) sbr.put(uint32_t(mode), 2);
+  };
+  auto addharmw = [&](const uint8_t *flags) {
+    bool any = false;
+    if (flags)
+      for (int b = 0; b < n_hi; ++b) any = any || flags[b];
+    if (!any) {
+      sbr.put(0, 1);
+    } else {
+      sbr.put(1, 1);
+      for (int b = 0; b < n_hi; ++b) sbr.put(flags[b] ? 1 : 0, 1);
+    }
   };
   if (envs_r) {
     /* sbr_channel_pair_element, coupling off (env_extr.cpp:617-820) */
     sbr.put(0, 1);                                   /* bs_coupling */
     grid(nl); grid(nr);
     dtdf(nl); dtdf(nr);
-    for (int c = 0; c < 2; ++c)
-      for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
+    invfw(invf_l);
+    invfw(invf_r);
     envw(envs_l, nl);
     envw(envs_r, nr);
-    noisew(nl);
-    noisew(nr);
-    sbr.put(0, 1);
-    sbr.put(0, 1);
+    noisew(nl, noise_val);
+    noisew(nr, noise_val_r);
+    addharmw(add_harm_l);
+    addharmw(add_harm_r);
   } else {
     grid(nl);
     dtdf(nl);
-    for (int i = 0; i < P[6]; ++i) sbr.put(1, 2);
+    invfw(invf_l);
     envw(envs_l, nl);
-    noisew(nl);
-    sbr.put(0, 1);
+    noisew(nl, noise_val);
+    addharmw(add_harm_l);
   }
   if (!ps_iid) {
     sbr.put(0, 1);
@@ -492,6 +510,9 @@ int dabplus_pack_batch(
     const int32_t *sbr_env,      /* [S,nau,env_ch,n_lo] or NULL */
     const int32_t *sbr_env2,     /* [S,nau,env_ch,2,n_lo] or NULL */
     const uint8_t *sbr_trans,    /* [S,nau,env_ch] or NULL */
+    const int32_t *sbr_nq,       /* [S,nau,env_ch] noise floors or NULL */
+    const int32_t *sbr_invf,     /* [S,nau,env_ch] invf modes or NULL */
+    const uint8_t *sbr_addh,     /* [S,nau,env_ch,n_hi] or NULL */
     const int32_t *ps_iid,       /* [S,nau,10] or NULL */
     const int32_t *ps_icc,       /* [S,nau,10] or NULL */
     const uint8_t *pads,         /* [S,nau,pad_stride] or NULL */
@@ -592,12 +613,24 @@ int dabplus_pack_batch(
             er[0] = ev + n_lo;
           }
         }
+        const int n_hi = sbrp[10];
+        const int32_t *nq = sbr_nq ? sbr_nq + (size_t(s) * nau + a) * env_ch
+                                   : nullptr;
+        const int32_t *ivf = sbr_invf
+            ? sbr_invf + (size_t(s) * nau + a) * env_ch : nullptr;
+        const uint8_t *ah = sbr_addh
+            ? sbr_addh + ((size_t(s) * nau + a) * env_ch) * n_hi : nullptr;
         write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
-                          sbrp[8], sbrp, true,
+                          nq ? nq[0] : sbrp[8], sbrp, true,
                           ps_iid ? ps_iid + (size_t(s) * nau + a) * 10
                                  : nullptr,
                           ps_icc ? ps_icc + (size_t(s) * nau + a) * 10
-                                 : nullptr);
+                                 : nullptr,
+                          ivf ? ivf[0] : 1,
+                          (ivf && env_ch == 2) ? ivf[1] : 1,
+                          (nq && env_ch == 2) ? nq[1] : -1,
+                          ah,
+                          (ah && env_ch == 2) ? ah + n_hi : nullptr, n_hi);
       }
 
       au_start[a] = pos;

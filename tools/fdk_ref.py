@@ -216,6 +216,12 @@ class FdkDecoder:
                 outlen, 0)
             if r != 0:
                 raise RuntimeError(f"DecodeFrame failed {hex(r & 0xffffffff)} on AU {i}")
-            nsamp = 960 * (2 if sbr_flag else 1) * self.channels
-            chunks.append(pcm[:nsamp].reshape(-1, self.channels).T)
+            # the decoder may up-mix mono HE-AAC to stereo output (implicit
+            # PS readiness) - use the REPORTED channel count to deinterleave,
+            # then keep the configured channels
+            self.lib.aacDecoder_GetStreamInfo.restype = ctypes.POINTER(ctypes.c_int)
+            si = self.lib.aacDecoder_GetStreamInfo(self.h)
+            out_ch = max(int(si[2]), 1)
+            frame = int(si[1])
+            chunks.append(pcm[:frame * out_ch].reshape(-1, out_ch).T[:self.channels])
         return np.concatenate(chunks, axis=1)
