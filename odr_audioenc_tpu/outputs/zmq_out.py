@@ -1,10 +1,14 @@
 """ZeroMQ PUB output with the ODR-DabMux frame header.
 
-This environment has no libzmq, so a minimal ZMTP 3.0 implementation (NULL
-mechanism, PUB socket, connect mode) is provided in pure Python - enough for
-ODR-DabMux's SUB input.  Frame header layout matches src/Outputs.h:76-99
-(packed little-endian: u16 version, u16 encoder, u32 datasize, i16 L, i16 R).
-CURVE encryption is not implemented (accepted keyfiles raise).
+This environment has no libzmq, so a minimal ZMTP 3.0 implementation (PUB
+socket, connect mode) is provided in pure Python - enough for ODR-DabMux's
+SUB input.  Frame header layout matches src/Outputs.h:76-99 (packed
+little-endian: u16 version, u16 encoder, u32 datasize, i16 L, i16 R).
+
+Security mechanisms: NULL, or CURVE acting as server with the secret key
+from the reference-format key file (Outputs.cpp:75-93 sets
+ZMQ_CURVE_SERVER + ZMQ_CURVE_SECRETKEY; encryption.c reads the 40-char Z85
+key) - implemented in curve.py without libzmq/libsodium.
 """
 import socket
 import struct
@@ -16,8 +20,11 @@ from .base import Output
 ZMQ_ENCODER_AACPLUS = 1
 ZMQ_ENCODER_MPEG_L2 = 2
 
-_GREETING = b"\xff" + b"\x00" * 8 + b"\x7f" + bytes([3, 0]) + \
-    b"NULL" + b"\x00" * 16 + b"\x00" * 31
+
+def _greeting(mechanism, as_server):
+    mech = mechanism.encode().ljust(20, b"\x00")
+    return (b"\xff" + b"\x00" * 8 + b"\x7f" + bytes([3, 0]) + mech
+            + bytes([1 if as_server else 0]) + b"\x00" * 31)
 
 
 def _metadata(props):
@@ -41,11 +48,14 @@ def _message(data):
 
 
 class ZmtpPubConnection(threading.Thread):
-    """One outgoing PUB connection with auto-reconnect."""
+    """One outgoing PUB connection with auto-reconnect; NULL or CURVE
+    (server role) security."""
 
-    def __init__(self, host, port):
+    def __init__(self, host, port, curve_secret=None):
         super().__init__(daemon=True)
         self.host, self.port = host, port
+        self.curve_secret = curve_secret
+        self.session = None
         self.sock = None
         self.lock = threading.Lock()
         self._connect()
@@ -53,15 +63,30 @@ class ZmtpPubConnection(threading.Thread):
     def _connect(self):
         try:
             s = socket.create_connection((self.host, self.port), timeout=2.0)
-            s.settimeout(2.0)
-            s.sendall(_GREETING)
-            self._recv_exact(s, 64)  # peer greeting
-            s.sendall(_command("READY", _metadata({"Socket-Type": "PUB"})))
-            self._read_frame(s)      # peer READY
+            s.settimeout(5.0)
+            if self.curve_secret is None:
+                s.sendall(_greeting("NULL", False))
+                self._recv_exact(s, 64)  # peer greeting
+                s.sendall(_command("READY", _metadata({"Socket-Type": "PUB"})))
+                self._read_frame(s)      # peer READY
+            else:
+                from .curve import CurveServerSession
+                self.session = CurveServerSession(self.curve_secret)
+                s.sendall(_greeting("CURVE", True))
+                self._recv_exact(s, 64)
+                name, body = self._read_command(s)
+                if name != b"HELLO":
+                    raise OSError(f"expected HELLO, got {name!r}")
+                s.sendall(_command("WELCOME", self.session.hello(body)))
+                name, body = self._read_command(s)
+                if name != b"INITIATE":
+                    raise OSError(f"expected INITIATE, got {name!r}")
+                s.sendall(_command("READY", self.session.initiate(body)))
             s.settimeout(0.0)        # non-blocking from here (dontwait)
             self.sock = s
-        except OSError:
+        except (OSError, ValueError):
             self.sock = None
+            self.session = None
 
     @staticmethod
     def _recv_exact(s, n):
@@ -81,6 +106,13 @@ class ZmtpPubConnection(threading.Thread):
             size = self._recv_exact(s, 1)[0]
         return flags, self._recv_exact(s, size)
 
+    def _read_command(self, s):
+        flags, payload = self._read_frame(s)
+        if not flags & 0x04:
+            raise OSError("expected command frame")
+        nlen = payload[0]
+        return payload[1:1 + nlen], payload[1 + nlen:]
+
     def send(self, data):
         with self.lock:
             if self.sock is None:
@@ -95,7 +127,11 @@ class ZmtpPubConnection(threading.Thread):
                             raise OSError
                 except BlockingIOError:
                     pass
-                self.sock.sendall(_message(data))
+                if self.session is not None:
+                    self.sock.sendall(
+                        _command("MESSAGE", self.session.encrypt(data)))
+                else:
+                    self.sock.sendall(_message(data))
                 return True
             except OSError:
                 try:
@@ -103,18 +139,21 @@ class ZmtpPubConnection(threading.Thread):
                 except OSError:
                     pass
                 self.sock = None
+                self.session = None
                 return False
 
 
 class ZmqOutput(Output):
     def __init__(self, uri, keyfile=None):
         super().__init__()
+        secret = None
         if keyfile:
-            raise NotImplementedError("CURVE encryption not available without libzmq")
+            from .curve import read_curve_keyfile
+            secret = read_curve_keyfile(keyfile)
         u = urlparse(uri)
         if u.scheme != "tcp":
             raise ValueError(f"only tcp:// ZMQ outputs supported, got {uri}")
-        self.conn = ZmtpPubConnection(u.hostname, u.port)
+        self.conn = ZmtpPubConnection(u.hostname, u.port, curve_secret=secret)
         self.encoder = ZMQ_ENCODER_AACPLUS
 
     def set_encoder_type(self, is_dabplus):
