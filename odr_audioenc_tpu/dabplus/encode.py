@@ -352,6 +352,38 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False):
 
 SECT_BITS = 4 + 5       # sect_cb + sect_len (long windows)
 SECT_BITS_SHORT = 4 + 3  # sect_len is 3 bits for EIGHT_SHORT
+PNS_HCB = 13             # NOISE_HCB
+
+
+def pns_detect(spec, en, thr, bctx, eligible, nlines, dtype):
+    """Perceptual noise substitution detection (noisedet.cpp/pnsparam.cpp
+    roles): mark eligible bands whose spectrum is noise-like and return the
+    noise energy scale factors.
+
+    Noise-likeness combines two statistics over the band's MDCT powers
+    (chi-square(1) distributed for Gaussian noise):
+      - spectral flatness (geometric/arithmetic power mean): ~0.3 for
+        noise, near 0 when a tone dominates;
+      - peak-to-mean power ratio: bounded for noise, large for tones.
+    Only bands that are audible (energy above the masking threshold) are
+    substituted - sub-threshold bands go to ZERO for free instead.
+    noise_nrg semantics match the decoder's CPns_Apply: the generated
+    unit-energy noise vector is scaled by 2^(sf/4) per coefficient, so
+    sf = 2*log2(band energy) reproduces the band's energy."""
+    p = spec * spec
+    logp = jnp.log(jnp.maximum(p, 1e-12))
+    nl = jnp.maximum(nlines, 1.0)
+    mean_log = bctx.reduce_f(logp) / nl
+    mean_p = jnp.maximum(en, 1e-12) / nl
+    sfm = jnp.exp(mean_log - jnp.log(mean_p))
+    # per-band max via a masked line->band compare (big tensor avoided: the
+    # line-domain max against the band mean broadcast back)
+    peak_ratio_line = p / jnp.maximum(bctx.to_lines(mean_p), 1e-12)
+    peak = bctx.reduce_f(jnp.where(peak_ratio_line > 10.0, 1.0, 0.0))
+    mask = eligible & (sfm > 0.22) & (peak < 0.5) & (en > 4.0 * thr)
+    nrg = jnp.clip(jnp.round(2.0 * jnp.log2(jnp.maximum(en, 1e-10))),
+                   -100, 155).astype(jnp.int32)
+    return mask, nrg
 
 
 def optimal_books(cost, bandsel, sect_bits=None, force_break=None):
@@ -444,36 +476,44 @@ def side_info_bits(books, gains, bandsel, dtype, sect_hdr=None,
         esc_w = 5
     sect_bits = sect_bits + esc_w * esc_cnt
 
-    # scalefactor dpcm over non-zero bands
-    nz = (books_m > 0)
-    # previous non-zero band's gain
-    idx = jnp.arange(nb)
-    gsel = jnp.where(nz, gains, 0)
-    # sequential dpcm via cumulative trick: gather gains of nz bands in order
-    # cost = sum over consecutive nz pairs of lenscf[d+60]; first nz band vs
-    # itself (global_gain) = lenscf[60]
-    lastnz_idx = jnp.where(nz, idx, -1)
-    prev_nz = jax.lax.associative_scan(jnp.maximum, lastnz_idx, axis=-1)
-    prev_nz = jnp.concatenate([jnp.full(prev_nz.shape[:-1] + (1,), -1, prev_nz.dtype),
-                               prev_nz[..., :-1]], axis=-1)
-    # gains at prev_nz via one-hot bf16 matmul (gather-free; gains are
-    # small ints, exact in bf16 with f32 accumulation)
-    p_oh = jax.nn.one_hot(jnp.maximum(prev_nz, 0), nb, dtype=jnp.bfloat16)
-    g_prev = jnp.round(jnp.einsum("...kj,...j->...k", p_oh,
-                                  gains.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
-                       ).astype(jnp.int32)
-    delta = jnp.clip(gains - g_prev, -60, 60)
-    has_prev = prev_nz >= 0
-    d_oh = jax.nn.one_hot(delta + 60, 121, dtype=jnp.bfloat16)
-    lens = jnp.round(d_oh @ jnp.asarray(AT.HUFF_LEN_SCF, jnp.bfloat16),
-                     ).astype(jnp.int32)
-    scf_bits = jnp.where(nz & has_prev, lens, 0).sum(-1)
-    scf_bits = scf_bits + jnp.where(nz.any(-1), jnp.asarray(AT.HUFF_LEN_SCF)[60], 0)
+    def _dpcm_chain_bits(member, values, first_cost=None):
+        """Bit cost of a dpcm chain over `member` bands in band order:
+        lenscf[delta+60] between consecutive members; the first member costs
+        `first_cost` bits (None = lenscf[60], the regular chain's
+        global-gain reference)."""
+        idx = jnp.arange(nb)
+        last_idx = jnp.where(member, idx, -1)
+        prev_i = jax.lax.associative_scan(jnp.maximum, last_idx, axis=-1)
+        prev_i = jnp.concatenate(
+            [jnp.full(prev_i.shape[:-1] + (1,), -1, prev_i.dtype),
+             prev_i[..., :-1]], axis=-1)
+        # values at prev via one-hot bf16 matmul (gather-free; small ints
+        # are exact in bf16 with f32 accumulation)
+        p_oh = jax.nn.one_hot(jnp.maximum(prev_i, 0), nb, dtype=jnp.bfloat16)
+        v_prev = jnp.round(jnp.einsum("...kj,...j->...k", p_oh,
+                                      values.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+                           ).astype(jnp.int32)
+        delta = jnp.clip(values - v_prev, -60, 60)
+        has_prev = prev_i >= 0
+        d_oh = jax.nn.one_hot(delta + 60, 121, dtype=jnp.bfloat16)
+        lens = jnp.round(d_oh @ jnp.asarray(AT.HUFF_LEN_SCF, jnp.bfloat16)
+                         ).astype(jnp.int32)
+        bits = jnp.where(member & has_prev, lens, 0).sum(-1)
+        fc = jnp.asarray(AT.HUFF_LEN_SCF)[60] if first_cost is None else first_cost
+        return bits + jnp.where(member.any(-1), fc, 0)
+
+    # scalefactor dpcm over non-zero spectral bands (PNS bands carry their
+    # noise energies in a SEPARATE chain: 9-bit PCM start + scf-huffman
+    # deltas, block.cpp:199-207 / aacdec_pns.cpp CPns_Read)
+    nz = (books_m > 0) & (books_m != PNS_HCB)
+    scf_bits = _dpcm_chain_bits(nz, gains)
+    pns = books_m == PNS_HCB
+    noise_bits = _dpcm_chain_bits(pns, gains, first_cost=9)
 
     # global_gain(8) + ics_info(11) is counted by the caller (shared for CPE)
     fixed = 8 + 3  # global_gain + pulse/tns/gain_control flags
-    return sect_bits + scf_bits + fixed
+    return sect_bits + scf_bits + noise_bits + fixed
 
 
 def ms_transform(spec, bctx, bandsel, dtype):
@@ -578,6 +618,22 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     sect_hdr_c = sect_hdr[..., None] if short_ctx is not None else sect_hdr
     is_short_c = is_short[:, None] if is_short is not None else None
 
+    # perceptual noise substitution (pns_detect): long windows only, not on
+    # MS bands (the decoder reads ms_used as the noise-correlation flag for
+    # PNS band pairs), eligible above the bitrate-dependent start band
+    pns_start = pt.get("pns_start", None)
+    if pns_start is not None:
+        eligible = bandsel_c & (jnp.arange(NB) >= pns_start) \
+            & ~ms_used[:, None]
+        if is_short is not None:
+            eligible = eligible & ~is_short[:, None, None]
+        pns_mask, pns_nrg = pns_detect(spec, en, thr, bctx, eligible, nlines, dtype)
+        pns_line = bctx.to_lines(pns_mask)
+    else:
+        pns_mask = jnp.zeros(en.shape, bool)
+        pns_nrg = jnp.zeros(en.shape, jnp.int32)
+        pns_line = jnp.zeros(spec.shape, bool)
+
     def count_for_gains(gains, use_dp=True):
         """Quantize + exact bit count at explicit per-band gains.  With
         use_dp the sectioning DP (dyn_bits analogue) finds jointly-optimal
@@ -586,24 +642,28 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         scale = bctx.to_lines(jnp.exp2(-0.1875 * gains.astype(dtype)))
         q = jnp.clip(jnp.floor(mag075 * scale + 0.4054).astype(jnp.int32), 0, 8191)
         q = jnp.where(neg, -q, q)
+        q = jnp.where(pns_line, 0, q)             # no spectral data for PNS
         if use_dp:
             cost, _ = spectral_bits_and_books(q, bctx, bandsel_c,
                                               dtype, return_cost=True)
             sb = sect_hdr_c[..., None] if short_ctx is not None else SECT_BITS
-            books = optimal_books(cost, bandsel_c, sect_bits=sb,
+            books = optimal_books(cost, bandsel_c & ~pns_mask, sect_bits=sb,
                                   force_break=fb_c)
             bbits = jnp.take_along_axis(cost, books[..., None], -1)[..., 0]
             books = jnp.where(bandsel_c, books, 0)
             bbits = jnp.where(bandsel_c, bbits, 0)
         else:
             books, bbits = spectral_bits_and_books(q, bctx, bandsel_c, dtype)
-        side = side_info_bits(books, gains, bandsel_c, dtype,
+        books = jnp.where(pns_mask, PNS_HCB, books)
+        bbits = jnp.where(pns_mask, 0, bbits)
+        g_tx = jnp.where(pns_mask, pns_nrg, gains)  # transmitted values
+        side = side_info_bits(books, g_tx, bandsel_c, dtype,
                               sect_hdr=sect_hdr_c, force_break=fb_c,
                               is_short=is_short_c)
         ch_bits = (bbits.sum(-1) + side + tns_bits)  # [S, ch]
         total = ch_bits.sum(-1) + elem_fixed + 3  # + ID_END
         total = total + 7  # byte-align worst case
-        return total, q, books
+        return total, q, books, g_tx
 
     def try_offset(o, use_dp=True):
         o = jnp.asarray(o)
@@ -613,8 +673,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         # clamp gains into a window of the per-channel max so dpcm stays legal
         gmax = gains.max(-1, keepdims=True)
         gains = jnp.clip(gains, gmax - 60, gmax)
-        total, q, books = count_for_gains(gains, use_dp)
-        return total, (q, gains, books)
+        total, q, books, g_tx = count_for_gains(gains, use_dp)
+        return total, (q, g_tx, books)
 
     # bisect the global-gain offset: bits(o) is (near-)monotone decreasing in
     # o, so the smallest fitting offset in [O_LO, O_HI] is found with
@@ -636,6 +696,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     # hi = smallest offset whose (upper-bound) count fits, or O_HI if none;
     # the final DP count can only be smaller, so the budget is never overrun
     bits, (q, gains, books) = try_offset(hi, use_dp=True)
+    # `gains` now carries the transmitted values: scalefactors on spectral
+    # bands, noise energies on PNS bands (the writers' noise chain source)
 
     # afterburner-style refinement (aacenc_lib afterburner analogue): spend
     # leftover budget by adding precision (gain-1) to the bands with the
@@ -655,8 +717,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         nmr = jnp.where(can, nmr, -jnp.inf)
         _, ti = jax.lax.top_k(nmr, REFINE_BANDS)  # [S, ch, K]
         dec = (ti[..., None] == jnp.arange(NB)).any(-2)
-        gains2 = gains - dec
-        total2, q2, books2 = count_for_gains(gains2)
+        gains2 = jnp.where(pns_mask, gains, gains - dec)
+        total2, q2, books2, gains2 = count_for_gains(gains2)
         ok = (total2 <= budget_bits)[:, None, None]  # [S,1,1]
         return (jnp.where(ok, q2, q),
                 jnp.where(ok, gains2, gains),

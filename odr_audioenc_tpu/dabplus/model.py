@@ -88,6 +88,21 @@ class DabPlusEncoder:
             bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.24)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
+        # PNS start band by per-channel bitrate (pnsparam.cpp ladder spirit);
+        # high bitrates have the bits to code noise faithfully - disable
+        if br_per_ch <= 32000:
+            f_pns = 2200.0
+        elif br_per_ch <= 48000:
+            f_pns = 4100.0
+        elif br_per_ch <= 64000:
+            f_pns = 6000.0
+        elif br_per_ch <= 80000:
+            f_pns = 9000.0
+        else:
+            f_pns = None
+        if f_pns is not None:
+            self.pt["pns_start"] = int(
+                np.searchsorted(self.sfb_off * rate / (2 * AT.N), f_pns))
         # short-block context (block switching): grouped {4,4} band ladder
         self.max_sfb_short = int(np.searchsorted(
             self.sfb_off_short * rate / (2 * AT.NS), bw_hz)) - 1

@@ -105,7 +105,7 @@ def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None,
     else:
         tx = _short_bands(short_info)
         sect_len_bits, sect_esc = 3, 7
-    nz = [gb for gb, _, _ in tx if books[gb] > 0]
+    nz = [gb for gb, _, _ in tx if books[gb] > 0 and books[gb] != 13]
     global_gain = int(gains[nz[0]]) + 100 if nz else 100
     global_gain = min(max(global_gain, 0), 255)
     bw.put(global_gain, 8)
@@ -127,13 +127,28 @@ def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None,
                 ln -= sect_esc
             bw.put(ln, sect_len_bits)
             i = j
-    # scale_factor_data
+    # scale_factor_data: regular dpcm chain over spectral bands; PNS bands
+    # (NOISE_HCB=13) carry noise energies in their own chain - 9-bit PCM for
+    # the first, scf-huffman deltas after (aacdec_pns.cpp CPns_Read)
     prev = global_gain - 100
-    for gb in nz:
-        delta = int(gains[gb]) - prev
-        assert -60 <= delta <= 60, f"scf delta {delta} out of range"
-        bw.put(int(AT.HUFF_CODE_SCF[delta + 60]), int(AT.HUFF_LEN_SCF[delta + 60]))
-        prev = int(gains[gb])
+    noise_prev = None
+    for gb, _, _ in tx:
+        bk = int(books[gb])
+        if bk == 13:
+            v = int(gains[gb])
+            if noise_prev is None:
+                delta0 = max(-256, min(255, v - (global_gain - 90)))
+                bw.put(delta0 + 256, 9)
+                noise_prev = (global_gain - 90) + delta0
+            else:
+                d = max(-60, min(60, v - noise_prev))
+                bw.put(int(AT.HUFF_CODE_SCF[d + 60]), int(AT.HUFF_LEN_SCF[d + 60]))
+                noise_prev += d
+        elif bk > 0:
+            delta = int(gains[gb]) - prev
+            assert -60 <= delta <= 60, f"scf delta {delta} out of range"
+            bw.put(int(AT.HUFF_CODE_SCF[delta + 60]), int(AT.HUFF_LEN_SCF[delta + 60]))
+            prev = int(gains[gb])
     bw.put(0, 1)  # pulse_data_present
     if tns is not None and tns[0]:
         bw.put(1, 1)  # tns_data_present
@@ -147,14 +162,14 @@ def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None,
     # from straddling chunks, so per-chunk emission is the transmitted order)
     if short_info is None:
         for b in range(max_sfb):
-            if books[b] > 0:
+            if books[b] > 0 and books[b] != 13:
                 bw_book = int(books[b])
                 _write_spectrum(bw, q, bw_book, int(sfb_off[b]), int(sfb_off[b + 1]))
     else:
         off = short_info["sfb_off"]
         wpg = 8 // AT.N_GROUPS
         for gb, g, b in tx:
-            if books[gb] > 0:
+            if books[gb] > 0 and books[gb] != 13:
                 for w in range(g * wpg, (g + 1) * wpg):
                     _write_spectrum(bw, q, int(books[gb]),
                                     w * AT.NS + int(off[b]),

@@ -204,10 +204,12 @@ void write_ics(BitWr &bw, const int32_t *q, const int32_t *gains,
   if (is_short) {
     for (int g = 0; g < 2 && first_nz < 0; ++g)
       for (int b = 0; b < max_sfb_s; ++b)
-        if (books[g * nsfb_s + b] > 0) { first_nz = g * nsfb_s + b; break; }
+        if (books[g * nsfb_s + b] > 0 && books[g * nsfb_s + b] != 13) {
+          first_nz = g * nsfb_s + b; break;
+        }
   } else {
     for (int b = 0; b < max_sfb; ++b)
-      if (books[b] > 0) { first_nz = b; break; }
+      if (books[b] > 0 && books[b] != 13) { first_nz = b; break; }
   }
   int gg = first_nz >= 0 ? gains[first_nz] + 100 : 100;
   gg = gg < 0 ? 0 : (gg > 255 ? 255 : gg);
@@ -238,22 +240,36 @@ void write_ics(BitWr &bw, const int32_t *q, const int32_t *gains,
       b = e;
     }
   }
-  int prev = gg - 100;
-  if (is_short) {
-    for (int g = 0; g < 2; ++g)
-      for (int b = 0; b < max_sfb_s; ++b) {
-        int i = g * nsfb_s + b;
-        if (books[i] <= 0) continue;
-        int delta = gains[i] - prev;
+  /* scale_factor_data: regular dpcm over spectral bands; PNS (book 13)
+   * bands carry a separate noise-energy chain - 9-bit PCM first, then
+   * scf-huffman deltas (aacdec_pns.cpp CPns_Read) */
+  {
+    int prev = gg - 100;
+    int noise_prev = 0;
+    bool noise_active = false;
+    const int n_tx = is_short ? 2 * max_sfb_s : max_sfb;
+    for (int i = 0; i < n_tx; ++i) {
+      int gb = is_short ? (i / max_sfb_s) * nsfb_s + (i % max_sfb_s) : i;
+      int bk = books[gb];
+      if (bk == 13) {
+        int v = gains[gb];
+        if (!noise_active) {
+          int d0 = v - (gg - 90);
+          d0 = d0 < -256 ? -256 : (d0 > 255 ? 255 : d0);
+          bw.put(uint32_t(d0 + 256), 9);
+          noise_prev = (gg - 90) + d0;
+          noise_active = true;
+        } else {
+          int d = v - noise_prev;
+          d = d < -60 ? -60 : (d > 60 ? 60 : d);
+          bw.put(HC_SCF[d + 60], HL_SCF[d + 60]);
+          noise_prev += d;
+        }
+      } else if (bk > 0) {
+        int delta = gains[gb] - prev;
         bw.put(HC_SCF[delta + 60], HL_SCF[delta + 60]);
-        prev = gains[i];
+        prev = gains[gb];
       }
-  } else {
-    for (int b = 0; b < max_sfb; ++b) {
-      if (books[b] <= 0) continue;
-      int delta = gains[b] - prev;
-      bw.put(HC_SCF[delta + 60], HL_SCF[delta + 60]);
-      prev = gains[b];
     }
   }
   bw.put(0, 1);
@@ -270,14 +286,14 @@ void write_ics(BitWr &bw, const int32_t *q, const int32_t *gains,
     for (int g = 0; g < 2; ++g)
       for (int b = 0; b < max_sfb_s; ++b) {
         int bk = books[g * nsfb_s + b];
-        if (bk <= 0) continue;
+        if (bk <= 0 || bk == 13) continue;
         for (int w = g * 4; w < g * 4 + 4; ++w)
           write_spectrum(bw, q, bk, w * 120 + sfb_off_s[b],
                          w * 120 + sfb_off_s[b + 1]);
       }
   } else {
     for (int b = 0; b < max_sfb; ++b)
-      if (books[b] > 0)
+      if (books[b] > 0 && books[b] != 13)
         write_spectrum(bw, q, books[b], sfb_off[b], sfb_off[b + 1]);
   }
 }
