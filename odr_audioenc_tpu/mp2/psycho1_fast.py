@@ -250,8 +250,14 @@ def minimum_mask_fast(ltg_x, hear_line, static_mm):
     return jnp.where(jnp.asarray(tail)[None], hear_line[:, ss - 1][:, None], out)
 
 
-def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32):
-    """Drop-in replacement for psycho1.psycho_1 on the f32 path."""
+def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32,
+                  use_pallas=None):
+    """Drop-in replacement for psycho1.psycho_1 on the f32 path.
+
+    use_pallas: run the tonal relaxation as one fused Pallas kernel
+    (psycho1_pallas) - the default enables it on TPU backends, where the
+    ~100-shift jnp formulation is dispatch-bound (it alone was ~80% of the
+    whole MP2 encode step)."""
     power, energy, spike = power_spectrum(samples, dtype)
 
     prev = power[:, 1:-1] > power[:, :-2]
@@ -259,7 +265,13 @@ def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32):
     cand = jnp.zeros_like(power, dtype=bool).at[:, 1:-1].set(prev & nxt)
     cand = cand & ((jnp.arange(NBINS) >= 2) & (jnp.arange(NBINS) < NBINS - PAD))
 
-    power, tone_m, tone_typ = tonal_fast(power, cand, dtype)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .psycho1_pallas import tonal_pallas
+        power, tone_m, tone_typ = tonal_pallas(power, cand, dtype)
+    else:
+        power, tone_m, tone_typ = tonal_fast(power, cand, dtype)
     power, noise_m = noise_fast(power, tone_typ, energy,
                                 psy_tabs["band_matrix"], psy_tabs["centre_base"],
                                 psy_tabs["centre_span"], dtype)

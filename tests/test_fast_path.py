@@ -46,3 +46,26 @@ def test_fast_psy_close_and_valid():
     parsed = [mp2parse.parse_frame(f) for f in mp2parse.split_frames(stream)]
     assert len(parsed) == nf
     assert all(p["crc_ok"] for p in parsed)
+
+
+def test_tonal_pallas_matches_jnp():
+    """The fused Pallas tonal kernel (interpret mode on CPU) reproduces the
+    jnp relaxation exactly: same member/type masks, power within f32 noise."""
+    import jax.numpy as jnp
+    import numpy as np
+    from odr_audioenc_tpu.mp2 import psycho1, psycho1_fast, psycho1_pallas
+
+    rng = np.random.default_rng(7)
+    B = 64
+    power = jnp.asarray(rng.uniform(-90, 40, (B, 512)).astype(np.float32))
+    prev = power[:, 1:-1] > power[:, :-2]
+    nxt = power[:, 1:-1] >= power[:, 2:]
+    cand = jnp.zeros_like(power, dtype=bool).at[:, 1:-1].set(prev & nxt)
+    cand = cand & ((jnp.arange(512) >= 2) & (jnp.arange(512) < 512 - psycho1.PAD))
+
+    pw_j, mem_j, typ_j = psycho1_fast.tonal_fast(power, cand, jnp.float32)
+    pw_p, mem_p, typ_p = psycho1_pallas.tonal_pallas(
+        power, cand, jnp.float32, interpret=True)
+    assert bool((mem_j == mem_p).all())
+    assert bool((typ_j == typ_p).all())
+    assert float(jnp.abs(pw_j - pw_p).max()) < 1e-3
