@@ -267,14 +267,26 @@ def psycho_1_fast(samples, scale_max, psy_tabs, low_rate, dtype=jnp.float32,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from .psycho1_pallas import tonal_pallas
-        power, tone_m, tone_typ = tonal_pallas(power, cand, dtype)
+    nu = psy_tabs.get("static_noise_uniform")
+    # the fused tonal+noise variant measured slightly slower than
+    # tonal-kernel + XLA noise on v5e (the in-kernel [T,512]x[512,32]
+    # matmuls beat XLA's batched fusion by nothing and cost VMEM); keep it
+    # available but off by default
+    if use_pallas == "fused-noise" and nu is not None:
+        from .psycho1_pallas import tonal_noise_pallas
+        bmt, base32, span32 = nu
+        power, tone_m, noise_m = tonal_noise_pallas(
+            power, cand, energy, jnp.asarray(bmt), jnp.asarray(base32),
+            jnp.asarray(span32))
     else:
-        power, tone_m, tone_typ = tonal_fast(power, cand, dtype)
-    power, noise_m = noise_fast(power, tone_typ, energy,
-                                psy_tabs["band_matrix"], psy_tabs["centre_base"],
-                                psy_tabs["centre_span"], dtype)
+        if use_pallas:
+            from .psycho1_pallas import tonal_pallas
+            power, tone_m, tone_typ = tonal_pallas(power, cand, dtype)
+        else:
+            power, tone_m, tone_typ = tonal_fast(power, cand, dtype)
+        power, noise_m = noise_fast(power, tone_typ, energy,
+                                    psy_tabs["band_matrix"], psy_tabs["centre_base"],
+                                    psy_tabs["centre_span"], dtype)
     hear_of_bin = psy_tabs["hear_of_bin"]
     power, tone_m = subsample(power, tone_m, hear_of_bin)
     power, noise_m = subsample(power, noise_m, hear_of_bin)
@@ -334,6 +346,18 @@ def make_fast_tables(psy_tabs_np, dtype=np.float32):
         band_matrix = bm
 
     out = {"band_matrix": band_matrix, "centre_base": base, "centre_span": span}
+    # uniform geometry for the fused pallas kernel (homogeneous rates): the
+    # transposed, 32-col-padded band matrix and one base/span row
+    if band_matrix.ndim == 2 and len(np.unique(np.concatenate([base, span], 1), axis=0)) == 1:
+        bmt = np.zeros((512, 32), dtype)
+        bmt[:, :NBANDS] = band_matrix.T
+        base32 = np.zeros(32, np.int32)
+        span32 = np.zeros(32, np.int32)
+        base32[:NBANDS] = base[0]
+        span32[:NBANDS] = span[0]
+        out["static_noise_uniform"] = (bmt, base32, span32)
+    else:
+        out["static_noise_uniform"] = None
 
     # static minimum_mask structure (homogeneous sample rate only): the line
     # -> subband map, j pointer and tail flags are data-independent

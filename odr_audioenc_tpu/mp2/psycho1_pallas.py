@@ -37,13 +37,10 @@ def _shift_left(x, d, fill):
         [x[..., d:], jnp.full(x.shape[:-1] + (d,), fill, x.dtype)], axis=-1)
 
 
-def _tonal_kernel(power_ref, cand_ref, runs_ref, pw_out, member_out,
-                  typ_out):
+def _tonal_body(power, cand, runs):
     # masks live as int32 0/1 vectors (Mosaic rejects i1/i8 vector casts in
     # shifts/concats); booleans appear only as ephemeral compare results
-    power = power_ref[:]                            # [T, 512] f32
-    cand = cand_ref[:]                              # [T, 512] i32 0/1
-    runs = runs_ref[:]                              # [1, 512] int32
+    # power [T, 512] f32; cand [T, 512] i32 0/1; runs [1, 512] i32
     Tn = power.shape[0]
     one = jnp.int32(1)
     zero = jnp.int32(0)
@@ -136,9 +133,93 @@ def _tonal_kernel(power_ref, cand_ref, runs_ref, pw_out, member_out,
     drop = (prev >= 0) & (nxt < INF) & ((nxt - bins) <= rn)
     member = jnp.where((accept > 0) & ~drop, one, zero)
 
+    typ = jnp.where((accept > 0) & (zeroed == 0), one, zero)
+    return pw, member, typ
+
+
+def _tonal_kernel(power_ref, cand_ref, runs_ref, pw_out, member_out,
+                  typ_out):
+    pw, member, typ = _tonal_body(power_ref[:], cand_ref[:], runs_ref[:])
     pw_out[:] = pw
     member_out[:] = member
-    typ_out[:] = jnp.where((accept > 0) & (zeroed == 0), one, zero)
+    typ_out[:] = typ
+
+
+NBANDS = 26
+
+
+def _tonal_noise_kernel(power_ref, cand_ref, energy_ref, runs_ref, bmt_ref,
+                        base_ref, span_ref, pw_out, tmem_out, nmem_out):
+    """Tonal walk + noise labeling fused (noise_fast's 26-band loop is ~80
+    dispatch-bound XLA kernels; here it is a VMEM loop)."""
+    # --- tonal part: reuse _tonal_kernel by calling it on local refs is not
+    # possible; inline via the shared helper below ---
+    pw, member, typ = _tonal_body(power_ref[:], cand_ref[:], runs_ref[:])
+
+    power = pw
+    is_tone = typ
+    energy = energy_ref[:]
+    bmt = bmt_ref[:]                                # [512, 32] f32 (padded)
+    base = base_ref[:]                              # [1, 32] i32
+    span_i = span_ref[:]                            # [1, 32] i32
+    Tn = power.shape[0]
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (Tn, NBINS), 1)
+    binsf = bins.astype(jnp.float32)
+
+    def lin(x):
+        return jnp.power(jnp.float32(10.0), jnp.float32(0.1) * x)
+
+    def db(p):
+        return jnp.float32(10.0) * jnp.log10(jnp.maximum(p, jnp.float32(1e-37)))
+
+    usable = jnp.where((is_tone == 0) & (power != jnp.float32(DBMIN)),
+                       jnp.float32(1.0), jnp.float32(0.0))
+    p_lin = lin(power) * usable
+    cf = jnp.float32(T.CF)
+
+    def bandsum(x):
+        return jax.lax.dot_general(
+            x, bmt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [T, 32]
+
+    sums = bandsum(p_lin)
+    wsum = bandsum(cf * energy * usable)
+    wpos = bandsum(cf * energy * usable * binsf)
+    basef = jnp.broadcast_to(base, (Tn, 32)).astype(jnp.float32)
+    span_b = jnp.broadcast_to(span_i, (Tn, 32))
+    spanf = jnp.maximum(span_b, 1).astype(jnp.float32)
+    weight = (wpos - basef * wsum) / spanf
+    no_comp = sums <= jnp.float32(0.0)
+    sum_db = jnp.where(no_comp, jnp.float32(DBMIN), db(sums))
+    index = weight / jnp.maximum(sums, jnp.float32(1e-37))
+    centre = jnp.broadcast_to(base, (Tn, 32)) + (index * spanf).astype(jnp.int32)
+    centre = jnp.where(no_comp, jnp.broadcast_to(base + span_i // 2, (Tn, 32)),
+                       centre)
+    centre = jnp.clip(centre, 0, NBINS - 1)
+
+    tone_next = _shift_left(is_tone, 1, zero)
+    # consumed lines -> DBMIN (inband = any band covers the line)
+    inband = jnp.sum(bmt, axis=1)[None, :] > jnp.float32(0.0)   # [1, 512]
+    power = jnp.where((usable > 0) & inband, jnp.float32(DBMIN), power)
+    nmem = jnp.zeros((Tn, NBINS), jnp.int32)
+    for k in range(NBANDS):
+        c_k = centre[:, k][:, None]                              # [T, 1]
+        oh = bins == c_k
+        t_c = jnp.max(jnp.where(oh, is_tone, zero), axis=1, keepdims=True)
+        t_c1 = jnp.max(jnp.where(oh, tone_next, zero), axis=1, keepdims=True)
+        c_adj = jnp.clip(jnp.where(t_c > 0,
+                                   jnp.where(t_c1 > 0, c_k + 1, c_k - 1), c_k),
+                         0, NBINS - 1)
+        valid = span_b[:, k][:, None] > 0
+        oh2 = (bins == c_adj) & valid
+        power = jnp.where(oh2, sum_db[:, k][:, None], power)
+        nmem = jnp.where(oh2, one, nmem)
+
+    pw_out[:] = power
+    tmem_out[:] = member
+    nmem_out[:] = nmem
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -185,3 +266,48 @@ def tonal_pallas(power, cand, dtype, interpret=False):
     relaxation AND list surgery - runs in the fused kernel."""
     pw, member, typ = tonal_relax_pallas(power, cand, interpret=interpret)
     return pw.astype(dtype), member, typ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tonal_noise_pallas(power, cand, energy, bmt, base_row, span_row,
+                       interpret=False):
+    """Fused tonal walk + noise labeling.
+
+    power/cand/energy: [B, 512]; bmt: [512, 32] band matrix (transposed,
+    zero-padded); base_row/span_row: [32] uniform noise-band geometry
+    (homogeneous sample rate).  Returns (power' [B,512] f32,
+    tone_member [B,512] bool, noise_member [B,512] bool)."""
+    B = power.shape[0]
+    tile = min(_ROW_TILE, B)
+    assert B % tile == 0, f"batch {B} not a multiple of the row tile {tile}"
+    runs = jnp.asarray(T.TONAL_RUN, jnp.int32).reshape(1, NBINS)
+    grid = (B // tile,)
+
+    def row_spec():
+        return pl.BlockSpec((tile, NBINS), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    pw, tm, nm = pl.pallas_call(
+        _tonal_noise_kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(), row_spec(), row_spec(),
+            pl.BlockSpec((1, NBINS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBINS, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec(), row_spec(), row_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NBINS), jnp.float32),
+            jax.ShapeDtypeStruct((B, NBINS), jnp.int32),
+            jax.ShapeDtypeStruct((B, NBINS), jnp.int32),
+        ],
+        interpret=interpret,
+    )(power.astype(jnp.float32), cand.astype(jnp.int32),
+      energy.astype(jnp.float32), runs, bmt.astype(jnp.float32),
+      base_row.reshape(1, 32).astype(jnp.int32),
+      span_row.reshape(1, 32).astype(jnp.int32))
+    return pw, tm != 0, nm != 0
