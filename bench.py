@@ -48,7 +48,10 @@ def main():
     from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
     from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
 
-    S = int(os.environ.get("BENCH_STREAMS", "1024"))
+    # default fleet size 2048: the encode steps are partly dispatch-bound,
+    # so larger batches amortize fixed overhead while staying comfortably
+    # real-time (MP2 step ~14 ms < 24 ms frame; DAB+ ~51 ms < 120 ms)
+    S = int(os.environ.get("BENCH_STREAMS", "2048"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
