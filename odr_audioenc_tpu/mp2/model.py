@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables as T
-from . import allocate, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3
+from . import allocate, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3, psycho4, psycho_n1
 
 MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 _MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
@@ -139,6 +139,13 @@ class Mp2Encoder:
                 raise ValueError("psy model 2 requires a homogeneous sample "
                                  "rate per encoder batch")
             self.psy2_tabs = psycho2.make_psy2_tables(rates.pop())
+        if psy_model == 4:
+            rates = {1000.0 * T.S_FREQ_KHZ[v][si]
+                     for v, si in zip(config.version, config.sfreq_idx)}
+            if len(rates) != 1:
+                raise ValueError("psy model 4 requires a homogeneous sample "
+                                 "rate per encoder batch")
+            self.psy2_tabs = psycho4.make_psy4_tables(rates.pop())
         if psy_model == 0:
             self.ath_min = jnp.asarray(np.stack([
                 T.psy0_ath_min(1000.0 * T.S_FREQ_KHZ[v][si])
@@ -154,7 +161,7 @@ class Mp2Encoder:
     def init_state(self):
         S = self.cfg.n_streams
         state = {"hist": jnp.zeros((S, 2, 480), self.dtype)}
-        if self.psy_model == 2:
+        if self.psy_model in (2, 4):
             state["psy2"] = psycho2.init_psy2_state(S * 2, self.dtype)
         return state
 
@@ -164,7 +171,7 @@ class Mp2Encoder:
         idx: stream indices; psy-2 leaves are channel-major [2S, ...]."""
         idx = np.asarray(idx)
         out = {"hist": state["hist"][idx]}
-        if self.psy_model == 2:
+        if self.psy_model in (2, 4):
             idx2 = np.stack([2 * idx, 2 * idx + 1], 1).reshape(-1)
             out["psy2"] = {k: v[idx2] for k, v in state["psy2"].items()}
         return out
@@ -173,7 +180,7 @@ class Mp2Encoder:
         """Write rows (from take_state) at stream indices idx."""
         idx = np.asarray(idx)
         state = dict(state, hist=state["hist"].at[idx].set(rows["hist"]))
-        if self.psy_model == 2:
+        if self.psy_model in (2, 4):
             idx2 = np.stack([2 * idx, 2 * idx + 1], 1).reshape(-1)
             state["psy2"] = {k: v.at[idx2].set(rows["psy2"][k])
                              for k, v in state["psy2"].items()}
@@ -225,7 +232,11 @@ class Mp2Encoder:
                          dtype).reshape(S, 2, 32)
         elif self.psy_model == 0:
             smr = psycho0.psycho_0(sf_index, self.ath_min[:, None, :], dtype)
-        elif self.psy_model == 2:
+        elif self.psy_model == -1:
+            # null model (psycho_n1.c): canned SNRs, no modelling
+            smr = psycho_n1.psycho_n1(S, dtype)
+        elif self.psy_model in (2, 4):
+            # model 4 shares model 2's runtime with its own tables
             raw = pcm.astype(dtype).reshape(S * 2, 1152)
             smr, psy2_state = psycho2.psycho_2(raw, state["psy2"],
                                                self.psy2_tabs, dtype)
@@ -276,7 +287,7 @@ class Mp2Encoder:
         if extra_slots is not None:
             out["extra"] = extra_slots.astype(jnp.int32)
         new_state = {"hist": hist}
-        if self.psy_model == 2:
+        if self.psy_model in (2, 4):
             new_state["psy2"] = psy2_state
         return new_state, out
 
