@@ -193,10 +193,12 @@ class DabPlusEncoder:
             nxt = x_new[..., -cfg.au_samples:-cfg.au_samples + half]
             x_ps = jnp.concatenate([x[..., half:], nxt], -1)
             aus_lr = x_ps.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
-            iid, icc = SBR.iid_parameters(aus_lr[:, :, 0], aus_lr[:, :, 1],
-                                          cfg.sample_rate, self.dtype)
+            iid, icc, iid_fine, use_fine = SBR.iid_parameters(
+                aus_lr[:, :, 0], aus_lr[:, :, 1], cfg.sample_rate, self.dtype)
             sbr_out["ps_iid"] = jnp.moveaxis(iid, 0, 1)  # [S, nau, 10]
             sbr_out["ps_icc"] = jnp.moveaxis(icc, 0, 1)  # [S, nau, 10]
+            sbr_out["ps_iid_fine"] = jnp.moveaxis(iid_fine, 0, 1)
+            sbr_out["ps_fine"] = jnp.moveaxis(use_fine, 0, 1)  # [S, nau]
             # energy-compensated mono downmix (correlation loss correction)
             m = 0.5 * (x[:, 0:1] + x[:, 1:2])
             e_lr = (x[:, 0:1] ** 2 + x[:, 1:2] ** 2).sum(-1, keepdims=True)
@@ -343,8 +345,11 @@ class DabPlusEncoder:
                     SBR.write_sbr_payload(
                         bw, _envs(0), noise_val=int(nq[0]),
                         params=self.sbr_params,
-                        ps_iid=out["ps_iid"][s, a] if self.is_ps else None,
+                        ps_iid=(out["ps_iid_fine"][s, a]
+                                if out["ps_fine"][s, a] else
+                                out["ps_iid"][s, a]) if self.is_ps else None,
                         ps_icc=out["ps_icc"][s, a] if self.is_ps else None,
+                        ps_fine=bool(out["ps_fine"][s, a]) if self.is_ps else False,
                         envs_r=_envs(1) if stereo else None,
                         invf=int(invf[0]),
                         invf_r=int(invf[1]) if stereo else 1,

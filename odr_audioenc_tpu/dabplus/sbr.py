@@ -195,9 +195,15 @@ def tonality_analysis(au_pcm, params, dtype=jnp.float32):
 # ---- Parametric Stereo (HE-AAC v2) ----
 IID_CODE_F = _npz["ps_iidDeltaFreqCoarse_Code"]
 IID_LEN_F = _npz["ps_iidDeltaFreqCoarse_Length"]
+IID_CODE_FF = _npz["ps_iidDeltaFreqFine_Code"]
+IID_LEN_FF = _npz["ps_iidDeltaFreqFine_Length"]
 # coarse IID quantisation grid in dB (ps_encode.cpp iidQuant_fx)
 IID_GRID_DB = np.array([-25, -18, -14, -10, -7, -4, -2, 0, 2, 4, 7, 10, 14, 18, 25],
                        np.float32)
+# fine grid (iidQuantFine_fx, ps_encode.cpp:154-165; values are dB/64 FIXP)
+IID_GRID_FINE_DB = np.array(
+    [-50, -45, -40, -35, -30, -25, -22, -19, -16, -13, -10, -8, -6, -4, -2,
+     0, 2, 4, 6, 8, 10, 13, 16, 19, 22, 25, 30, 35, 40, 45, 50], np.float32)
 PS_NBANDS = 10
 # approximate Hz borders of the 10 coarse parameter bands at 48 kHz output
 # (hybrid group borders iidGroupBordersLoRes, ps_encode.cpp:123-127, taking
@@ -214,8 +220,13 @@ ICC_GRID = np.array([1.0, 0.937, 0.84118, 0.60092, 0.36764, 0.0, -0.589,
 
 
 def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
-    """Per-AU coarse IID indices [-7..7] and ICC indices [0..7] from L/R
-    band cross-spectra.  au_l/au_r: [..., n] full-rate float samples."""
+    """Per-AU IID and ICC parameters from L/R band cross-spectra.
+
+    Returns (iid_coarse [..,10] in [-7..7], icc [..,10] in [0..7],
+    iid_fine [..,10] in [-15..15], use_fine [..] bool).  Like the
+    reference's selectIidBits trade-off (ps_encode.cpp:333-365), the fine
+    ladder is chosen when it reduces the total quantisation error
+    meaningfully - large stereo images exceed the coarse +-25 dB range."""
     n = au_l.shape[-1]
     win = jnp.asarray(np.hanning(n), dtype)
     sl = jnp.fft.rfft(au_l * win)
@@ -225,31 +236,42 @@ def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
     cross = sl.real * sr.real + sl.imag * sr.imag  # Re(L * conj(R))
     freqs = np.arange(pl.shape[-1]) * fs_out / n
     borders = PS_BORDER_QMF * fs_out / 128.0
-    idxs, iccs = [], []
+    idxs, iccs, fidxs, errc, errf = [], [], [], [], []
     grid = jnp.asarray(IID_GRID_DB, dtype)
+    fgrid = jnp.asarray(IID_GRID_FINE_DB, dtype)
     icc_grid = jnp.asarray(ICC_GRID, dtype)
     for b in range(PS_NBANDS):
         m = jnp.asarray((freqs >= borders[b]) & (freqs < borders[b + 1]), dtype)
         el = (pl * m).sum(-1) + 1e-6
         er = (pr * m).sum(-1) + 1e-6
         iid_db = 10.0 * jnp.log10(el / er)
-        q = jnp.argmin(jnp.abs(iid_db[..., None] - grid), axis=-1) - 7
-        idxs.append(q.astype(jnp.int32))
+        dc = jnp.abs(iid_db[..., None] - grid)
+        q = jnp.argmin(dc, axis=-1)
+        errc.append(jnp.min(dc, axis=-1))
+        idxs.append((q - 7).astype(jnp.int32))
+        df = jnp.abs(iid_db[..., None] - fgrid)
+        qf = jnp.argmin(df, axis=-1)
+        errf.append(jnp.min(df, axis=-1))
+        fidxs.append((qf - 15).astype(jnp.int32))
         rho = jnp.clip((cross * m).sum(-1) / jnp.sqrt(el * er), -1.0, 1.0)
         qi = jnp.argmin(jnp.abs(rho[..., None] - icc_grid), axis=-1)
         iccs.append(qi.astype(jnp.int32))
-    return jnp.stack(idxs, axis=-1), jnp.stack(iccs, axis=-1)  # [..., 10] x2
+    err_c = sum(errc)
+    err_f = sum(errf)
+    use_fine = (err_c - err_f) > 0.5 * PS_NBANDS
+    return (jnp.stack(idxs, axis=-1), jnp.stack(iccs, axis=-1),
+            jnp.stack(fidxs, axis=-1), use_fine)
 
 
-def _write_ps_data(bw, iid_idx, icc_idx=None):
-    """ps_data with coarse IID + ICC parameters (ps_bitenc.cpp:555-623;
-    parse order per psbitdec.cpp:449-575: header, framing, IID envelopes,
-    ICC envelopes).  Returns bit count."""
+def _write_ps_data(bw, iid_idx, icc_idx=None, fine=False):
+    """ps_data with IID (coarse mode 0 or fine mode 3) + ICC parameters
+    (ps_bitenc.cpp:555-623; parse order per psbitdec.cpp:449-575: header,
+    framing, IID envelopes, ICC envelopes).  Returns bit count."""
     n0 = len(bw.buf) * 8 + bw.nbits
     has_icc = icc_idx is not None
     bw.put(1, 1)   # enable_ps_header
     bw.put(1, 1)   # enable_iid
-    bw.put(0, 3)   # iid_mode 0 = coarse, 10 bands
+    bw.put(3 if fine else 0, 3)  # iid_mode: 10 bands, fine/coarse quant
     bw.put(1 if has_icc else 0, 1)  # enable_icc
     if has_icc:
         bw.put(0, 3)  # icc_mode 0 = coarse, 10 bands
@@ -258,11 +280,13 @@ def _write_ps_data(bw, iid_idx, icc_idx=None):
     bw.put(1, 2)   # num_env_idx -> 1 envelope
     bw.put(0, 1)   # delta_iid[0] = FREQ
     last = 0
+    code, ln, lav = (IID_CODE_FF, IID_LEN_FF, 30) if fine else \
+        (IID_CODE_F, IID_LEN_F, 14)
     for b in range(PS_NBANDS):
         d = int(iid_idx[b]) - last
         last = int(iid_idx[b])
-        d = max(-14, min(14, d))
-        bw.put(int(IID_CODE_F[d + 14]), int(IID_LEN_F[d + 14]))
+        d = max(-lav, min(lav, d))
+        bw.put(int(code[d + lav]), int(ln[d + lav]))
     if has_icc:
         bw.put(0, 1)   # delta_icc[0] = FREQ
         last = 0
@@ -318,7 +342,7 @@ def _write_noise(sbr, noise_val, n_env):
 def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
                       ps_iid=None, envs_r=None, ps_icc=None,
                       invf=1, invf_r=1, noise_val_r=None, add_harm=None,
-                      add_harm_r=None):
+                      add_harm_r=None, ps_fine=False):
     """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
 
     bw_target: the AU BitWriter (after the SCE/CPE).  envs: list of 1 or 2
@@ -380,7 +404,7 @@ def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
     else:
         # extended data with PS (encodeExtendedData, bit_sbr.cpp:~500)
         ps = BitWriter()
-        ps_bits = 2 + _write_ps_data(ps, ps_iid, ps_icc)  # + extension id
+        ps_bits = 2 + _write_ps_data(ps, ps_iid, ps_icc, fine=ps_fine)  # + ext id
         ext_size = (ps_bits + 7) // 8
         sbr.put(1, 1)                     # bs_extended_data
         if ext_size < 15:

@@ -153,10 +153,14 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
     if enc.is_ps and "ps_iid" in out_np:
         iid = np.ascontiguousarray(out_np["ps_iid"], np.int32)
         iid_p = _p(iid, ctypes.c_int32)
+        iidf = np.ascontiguousarray(out_np["ps_iid_fine"], np.int32)
+        iidf_p = _p(iidf, ctypes.c_int32)
+        psf = np.ascontiguousarray(out_np["ps_fine"], np.uint8)
+        psf_p = _p(psf, ctypes.c_uint8)
         icc = np.ascontiguousarray(out_np["ps_icc"], np.int32)
         icc_p = _p(icc, ctypes.c_int32)
     else:
-        iid_p = icc_p = None
+        iid_p = icc_p = iidf_p = psf_p = None
 
     if pads is not None:
         stride = max(1, max((len(pads[s][a]) if pads[s][a] else 0)
@@ -192,7 +196,7 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         _p(tns_en, ctypes.c_uint8), _p(tns_order, ctypes.c_int32),
         _p(tns_idx, ctypes.c_int32), ctypes.c_int(tlc),
         env_p, env2_p, trans_p, nq_p, invf_p, addh_p,
-        iid_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
+        iid_p, iidf_p, psf_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
         _p(sbrp, ctypes.c_int32), _p(sfp, ctypes.c_int32),
         _p(out, ctypes.c_uint8), ctypes.c_int(out_stride),
         _p(out_len, ctypes.c_int32))

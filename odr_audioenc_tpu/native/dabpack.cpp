@@ -316,11 +316,12 @@ void write_dse(BitWr &bw, const uint8_t *payload, int n) {
   }
 }
 
-int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc) {
+int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc,
+                  int fine) {
   size_t n0 = bw.bitpos;
   bw.put(1, 1);
   bw.put(1, 1);
-  bw.put(0, 3);
+  bw.put(fine ? 3 : 0, 3);   /* iid_mode: 10 bands, fine/coarse */
   bw.put(icc ? 1 : 0, 1);
   if (icc) bw.put(0, 3);
   bw.put(0, 1);
@@ -328,11 +329,15 @@ int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc) {
   bw.put(1, 2);
   bw.put(0, 1);
   int last = 0;
+  int lav = fine ? 30 : 14;
   for (int b = 0; b < 10; ++b) {
     int d = iid[b] - last;
     last = iid[b];
-    d = d < -14 ? -14 : (d > 14 ? 14 : d);
-    bw.put(IID_CODE_F[d + 14], IID_LEN_F[d + 14]);
+    d = d < -lav ? -lav : (d > lav ? lav : d);
+    if (fine)
+      bw.put(IID_CODE_FF[d + 30], IID_LEN_FF[d + 30]);
+    else
+      bw.put(IID_CODE_F[d + 14], IID_LEN_F[d + 14]);
   }
   if (icc) {
     bw.put(0, 1);
@@ -364,7 +369,8 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
                        const int32_t *ps_iid, const int32_t *ps_icc,
                        int invf_l = 1, int invf_r = 1, int noise_val_r = -1,
                        const uint8_t *add_harm_l = nullptr,
-                       const uint8_t *add_harm_r = nullptr, int n_hi = 0) {
+                       const uint8_t *add_harm_r = nullptr, int n_hi = 0,
+                       int ps_fine = 0) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
    * 5 noise_bands, 6 n_q, 7 n_lo */
   if (noise_val_r < 0) noise_val_r = noise_val;
@@ -439,7 +445,7 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
   } else {
     uint8_t pbuf[64] = {0};
     BitWr ps(pbuf);
-    int ps_bits = 2 + write_ps_data(ps, ps_iid, ps_icc);
+    int ps_bits = 2 + write_ps_data(ps, ps_iid, ps_icc, ps_fine);
     int ext_size = (ps_bits + 7) / 8;
     sbr.put(1, 1);
     if (ext_size < 15) {
@@ -530,6 +536,8 @@ int dabplus_pack_batch(
     const int32_t *sbr_invf,     /* [S,nau,env_ch] invf modes or NULL */
     const uint8_t *sbr_addh,     /* [S,nau,env_ch,n_hi] or NULL */
     const int32_t *ps_iid,       /* [S,nau,10] or NULL */
+    const int32_t *ps_iid_fine,  /* [S,nau,10] or NULL */
+    const uint8_t *ps_fine,      /* [S,nau] or NULL */
     const int32_t *ps_icc,       /* [S,nau,10] or NULL */
     const uint8_t *pads,         /* [S,nau,pad_stride] or NULL */
     const int32_t *pad_len,     /* [S,nau] */
@@ -636,17 +644,23 @@ int dabplus_pack_batch(
             ? sbr_invf + (size_t(s) * nau + a) * env_ch : nullptr;
         const uint8_t *ah = sbr_addh
             ? sbr_addh + ((size_t(s) * nau + a) * env_ch) * n_hi : nullptr;
+        const int fine = (ps_fine && ps_fine[size_t(s) * nau + a]) ? 1 : 0;
+        const int32_t *iid_sel = ps_iid
+            ? (fine && ps_iid_fine
+                   ? ps_iid_fine + (size_t(s) * nau + a) * 10
+                   : ps_iid + (size_t(s) * nau + a) * 10)
+            : nullptr;
         write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
                           nq ? nq[0] : sbrp[8], sbrp, true,
-                          ps_iid ? ps_iid + (size_t(s) * nau + a) * 10
-                                 : nullptr,
+                          iid_sel,
                           ps_icc ? ps_icc + (size_t(s) * nau + a) * 10
                                  : nullptr,
                           ivf ? ivf[0] : 1,
                           (ivf && env_ch == 2) ? ivf[1] : 1,
                           (nq && env_ch == 2) ? nq[1] : -1,
                           ah,
-                          (ah && env_ch == 2) ? ah + n_hi : nullptr, n_hi);
+                          (ah && env_ch == 2) ? ah + n_hi : nullptr, n_hi,
+                          fine);
       }
 
       au_start[a] = pos;

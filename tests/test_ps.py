@@ -45,3 +45,33 @@ def test_ps_loopback_stereo_image():
     # overall level within 3 dB
     lvl = 20 * np.log10(bf[:, lag:lag + m].std() / a[:, :m].std())
     assert abs(lvl) < 3.0
+
+
+def test_ps_fine_iid_wide_image():
+    """Hard-panned content (beyond the coarse +-25 dB grid) selects the
+    fine IID ladder (iid_mode 3) and the decoded image follows it."""
+    sig = music_like(20).copy()
+    sig[1] = (sig[1].astype(np.int32) // 40).astype(np.int16)  # ~-32 dB
+    cfg = DabPlusConfig(48000, 4, 2, aot="ps")
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    dec = fdk_ref.FdkDecoder()
+    out, nfine = [], 0
+    for i in range(3):
+        state, o = enc.encode_superframes(
+            state, sig[None, :, i * 5760:(i + 1) * 5760], pack=False)
+        on = {k: np.asarray(v) for k, v in o.items()}
+        nfine += int(on["ps_fine"].sum())
+        py = enc.pack_superframes(on, use_native=False)[0]
+        nat = enc.pack_superframes(on, use_native=True)[0]
+        assert py == nat
+        out.append(dec.decode_superframe(py[:110 * 4]))
+    assert nfine > 0, "fine IID never selected on a 32 dB image"
+    b = np.concatenate(out, axis=1).astype(float)
+    a = sig.astype(float)
+    n = 16384
+    lag = int(np.argmax(np.fft.irfft(
+        np.fft.rfft((a[0] + a[1])[:n]).conj() * np.fft.rfft((b[0] + b[1])[:n]))))
+    m = b.shape[1] - lag
+    orr = 20 * np.log10(b[0, lag:lag + m].std() / max(b[1, lag:lag + m].std(), 1e-9))
+    assert orr > 27.0, f"decoded image only {orr:.1f} dB (coarse grid caps ~25)"
