@@ -85,7 +85,20 @@ class DabPlusEncoder:
             self.ds_filter = jnp.asarray(h, dtype)
         else:
             self.sbr_params = None
-            bw_hz = min(rate * 0.5 * 0.92, 2800.0 + br_per_ch * 0.24)
+            # CBR bandwidth table for 960/1024 frames (bandwidth.cpp:114-118,
+            # GetBandwidthEntry: bracket entry, no interpolation at 960)
+            _BW_TAB = [(0, 3700, 5000), (12000, 5000, 6400),
+                       (20000, 6900, 9640), (28000, 9600, 13050),
+                       (40000, 12060, 14260), (56000, 13950, 15500),
+                       (72000, 14200, 16120), (96000, 17000, 17000),
+                       (576001, 17000, 17000)]
+            col = 1 if cfg.channels == 1 else 2
+            bw_hz = _BW_TAB[0][col]
+            for i in range(len(_BW_TAB) - 1):
+                if _BW_TAB[i][0] <= br_per_ch < _BW_TAB[i + 1][0]:
+                    bw_hz = _BW_TAB[i][col]
+                    break
+            bw_hz = min(float(bw_hz), rate * 0.5)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
         # PNS start band by per-channel bitrate (pnsparam.cpp ladder spirit);
