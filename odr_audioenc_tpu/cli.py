@@ -5,8 +5,12 @@ Single-stream mode mirrors the reference tool's options (odr-audioenc.cpp:
 5=input fault).  The additional --streams mode runs a whole fleet of stations
 as one device batch (the framework's north-star operating point).
 
-Not yet available in this build: ALSA/JACK/VLC/GST live inputs (libraries not
-present), CURVE-encrypted ZMQ, DAB+ PAD insertion, SBR/PS AOTs.
+Inputs follow the reference's selection priority (initialise_input,
+odr-audioenc.cpp:1338-1377): file/stdin, JACK (gated: needs libjack), VLC-
+style URI ingest, GStreamer-style pipeline, ALSA capture — the live ones
+via an external-decoder subprocess (io/inputs.py).  All push into a
+SampleQueue; the loop pops with drift compensation (pop + sample expansion)
+or blocking pop_wait with a 10 s fault timeout (odr-audioenc.cpp:860-985).
 """
 import argparse
 import json
@@ -16,12 +20,31 @@ import time
 
 import numpy as np
 
+# reference: "Due to memory leaks in the VLC input, we don't want to
+# restart it endlessly." (odr-audioenc.cpp:94-96)
+MAX_FAULTS_ALLOWED = 5
+
 
 def make_argparser():
     p = argparse.ArgumentParser(prog="odr-audioenc-tpu", add_help=True)
-    p.add_argument("-i", "--input", default="-")
+    p.add_argument("-i", "--input", default=None)
     p.add_argument("-f", "--format", choices=["wav", "raw"], default="wav")
     p.add_argument("--fifo-silence", action="store_true")
+    p.add_argument("-d", "--device", default=None,
+                   help="ALSA input device (capture via arecord/ffmpeg)")
+    p.add_argument("-j", "--jack", default=None,
+                   help="JACK input client name (needs libjack; gated)")
+    p.add_argument("-v", "--vlc-uri", default=None,
+                   help="any-URI live ingest (reference: libVLC; here ffmpeg)")
+    p.add_argument("-C", "--vlc-cache", type=int, default=0,
+                   help="network cache length in ms")
+    p.add_argument("-L", "--vlc-opt", action="append", default=[],
+                   help="additional decoder option (can be given repeatedly)")
+    p.add_argument("-G", "--gst-uri", default=None)
+    p.add_argument("--gst-pipeline", default=None,
+                   help="shell pipeline emitting s16le PCM on stdout")
+    p.add_argument("-w", "--write-icy-text", default=None, metavar="FILE")
+    p.add_argument("-W", "--write-icy-text-dl-plus", action="store_true")
     p.add_argument("-a", "--dab", action="store_true", help="encode DAB MP2")
     p.add_argument("--aaclc", action="store_true")
     p.add_argument("--sbr", action="store_true")
@@ -62,6 +85,31 @@ def make_argparser():
                    help="capture a JAX profiler trace of the encode loop "
                         "into DIR (view with tensorboard/xprof)")
     return p
+
+
+def initialise_input(args, queue):
+    """Build + prepare the selected input (odr-audioenc.cpp:1338-1377,
+    same priority order).  Raises RuntimeError on failure so the caller's
+    restart-on-fault logic can count it."""
+    from .io import inputs as I
+    if args.input is not None:
+        inp = I.FileInput(queue, args.input, args.format == "raw", args.rate,
+                          args.channels, args.fifo_silence)
+    elif args.jack is not None:
+        inp = I.JackInput(queue, args.jack, args.rate, args.channels)
+    elif args.vlc_uri is not None:
+        inp = I.VLCInput(queue, args.vlc_uri, args.rate, args.channels,
+                         cache_ms=args.vlc_cache)
+    elif args.gst_uri is not None or args.gst_pipeline is not None:
+        inp = I.GSTInput(queue, args.gst_uri, args.rate, args.channels,
+                         pipeline=args.gst_pipeline)
+    elif args.device is not None:
+        inp = I.AlsaInput(queue, args.device, args.rate, args.channels)
+    else:
+        inp = I.FileInput(queue, "-", args.format == "raw", args.rate,
+                          args.channels, args.fifo_silence)
+    inp.prepare()
+    return inp
 
 
 def build_outputs(args, is_dabplus):
@@ -114,8 +162,10 @@ def send_frame(outs, buf, peak_l, peak_r, is_dabplus):
 
 def run_single(args):
     import jax.numpy as jnp
-    from .io.inputs import FileInput
-    from .host.sidecars import PadInterface, StatsPublisher, level
+    from .io.queue import SampleQueue
+    from .io.drift import expand_missing_samples
+    from .host.sidecars import (PadInterface, StatsPublisher, level,
+                                write_icy_to_file)
 
     is_dabplus = not args.dab
     channels = args.channels
@@ -142,7 +192,9 @@ def run_single(args):
         else:
             aot = "lc"
         cfg = DabPlusConfig(args.rate, subch, channels, aot=aot,
-                            pad_len=args.pad if args.pad_socket else 0)
+                            pad_len=args.pad if args.pad_socket else 0,
+                            bandwidth=args.bandwidth,
+                            afterburner=not args.no_afterburner)
         enc = DabPlusEncoder(cfg, 1)
         frame_samples = cfg.num_aus * cfg.au_samples  # 120 ms at full rate
         frame_dur = frame_samples / args.rate
@@ -188,16 +240,24 @@ def run_single(args):
             print(f"--decode: full decode unavailable ({e}); structural "
                   f"validation only", file=sys.stderr)
 
-    inp = FileInput(args.input, args.format == "raw", args.rate, channels,
-                    args.fifo_silence)
-    inp.prepare()
     state = enc.init_state()
     gain = 10.0 ** (args.audio_gain / 20.0)
     frame_bytes = frame_samples * channels * 2
+
+    # the single hand-off point between input thread(s) and this loop
+    # (SampleQueue.configure, odr-audioenc.cpp:761-766)
+    queue = SampleQueue()
+    queue.configure(32 * frame_bytes + 20 * channels,
+                    push_block=not args.drift_comp, channels=channels)
+    inp = initialise_input(args, queue)
+    fault_counter = 0
+    previous_icy = None
+    t_comp = time.monotonic()          # drift_compensation_delay accumulator
+    t_last_sample = time.monotonic()   # 60 s underrun abort clock
+
     mp2_fifo = b""
     silence_ms = 0
     send_errors = 0
-    t_last = time.monotonic()
 
     num_aus = getattr(enc, "cfg", None).num_aus if is_dabplus else 1
 
@@ -225,12 +285,90 @@ def run_single(args):
                     dab_pads.append(b"")
                     calculated_padlen = 0
 
+        # ------- fault poll + restart (odr-audioenc.cpp:875-902)
+        if inp.fault_detected():
+            print("Detected fault in input!", file=sys.stderr)
+            if args.restart_on_fault:
+                fault_counter += 1
+                if fault_counter >= MAX_FAULTS_ALLOWED:
+                    print("Maximum number of input faults reached, aborting",
+                          file=sys.stderr)
+                    retval = 5
+                    break
+                try:
+                    inp.close()
+                    inp = initialise_input(args, queue)
+                except RuntimeError as e:
+                    print(f"Initialising input triggered exception: {e}",
+                          file=sys.stderr)
+                    retval = 5
+                    break
+                continue
+            retval = 5
+            break
+
         if not inp.read_source(frame_bytes):
             print("End of input reached", file=sys.stderr)
             retval = 0
             break
-        buf = bytes(inp.queue[:frame_bytes])
-        del inp.queue[:frame_bytes]
+
+        # ------- queue pop: drift-compensated or blocking
+        # (odr-audioenc.cpp:904-985)
+        if args.drift_comp:
+            buf, valid_bytes, overruns = queue.pop(frame_bytes)
+            if valid_bytes != frame_bytes:
+                b = bytearray(buf)
+                expand_missing_samples(b, channels, valid_bytes)
+                buf = bytes(b)
+            # throttle to nominal encode rate (drift_compensation_delay,
+            # odr-audioenc.cpp:378-396)
+            t_comp += frame_dur
+            now = time.monotonic()
+            if now < t_comp:
+                time.sleep(t_comp - now)
+            if valid_bytes != frame_bytes:
+                if stats:
+                    stats.notify_underrun()
+                if time.monotonic() - t_last_sample > 60:
+                    print("Underruns for 60s, aborting!", file=sys.stderr)
+                    return 1
+            else:
+                t_last_sample = time.monotonic()
+            if overruns and stats:
+                stats.notify_overrun()
+        else:
+            buf, overruns = queue.pop_wait(frame_bytes, 10000)
+            if len(buf) < frame_bytes:
+                # queue timeout (odr-audioenc.cpp:958-985)
+                print("Detected fault in input! No data in time.",
+                      file=sys.stderr)
+                if args.restart_on_fault:
+                    fault_counter += 1
+                    if fault_counter >= MAX_FAULTS_ALLOWED:
+                        print("Maximum number of input faults reached, "
+                              "aborting", file=sys.stderr)
+                        retval = 5
+                        break
+                    try:
+                        inp.close()
+                        inp = initialise_input(args, queue)
+                    except RuntimeError as e:
+                        print(f"Initialising input triggered exception: {e}",
+                              file=sys.stderr)
+                        return 1
+                    continue
+                retval = 5
+                break
+
+        # ------- ICY metadata → file for ODR-PadEnc
+        # (odr-audioenc.cpp:995-1020)
+        if args.write_icy_text and hasattr(inp, "get_icy_text"):
+            text = inp.get_icy_text()
+            if text != previous_icy:
+                if not write_icy_to_file(text, args.write_icy_text,
+                                         args.write_icy_text_dl_plus):
+                    print("Failed to write ICY Text", file=sys.stderr)
+            previous_icy = text
 
         pcm = np.frombuffer(buf, np.int16).reshape(-1, channels).T
         if gain != 1.0:
@@ -306,13 +444,8 @@ def run_single(args):
         if stats:
             stats.send_stats()
 
-        if args.drift_comp:
-            t_last += frame_dur
-            now = time.monotonic()
-            if t_last > now:
-                time.sleep(t_last - now)
-
     print("", file=sys.stderr)
+    inp.close()
     if wav_out is not None:
         wav_out.close()
     for o in outs:

@@ -24,7 +24,8 @@ from . import tables as AT
 NB = AT.MAX_SFB_LONG  # 49 padded bands
 N_OFFSETS = 10        # rate-loop coarse offsets (scan)
 SF_OFF_RANGE = 6      # coarse step = fine-pass width
-REFINE_ROUNDS = 0     # afterburner-style precision refinement rounds
+REFINE_ROUNDS = 2     # afterburner refinement rounds (-A disables via
+                      # encode_au(refine_rounds=0); AACENC_AFTERBURNER)
 REFINE_BANDS = 4      # worst-NMR bands refined per round
 
 
@@ -532,7 +533,8 @@ def ms_transform(spec, bctx, bandsel, dtype):
 
 
 def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
-              tns_cfg=None, transient=None, short_ctx=None, is_short=None):
+              tns_cfg=None, transient=None, short_ctx=None, is_short=None,
+              refine_rounds=REFINE_ROUNDS):
     """Rate-controlled quantization of one AU for all streams.
 
     spec: [S, ch, 960] (window-major [8x120] layout for short-block
@@ -725,9 +727,9 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
                 jnp.where(ok, books2, books),
                 jnp.where(ok[:, 0, 0], total2, bits)), None
 
-    if REFINE_ROUNDS:
+    if refine_rounds:
         (q, gains, books, bits), _ = jax.lax.scan(
-            refine, (q, gains, books, bits), None, length=REFINE_ROUNDS)
+            refine, (q, gains, books, bits), None, length=refine_rounds)
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
                 tns_idx=tns_idx)

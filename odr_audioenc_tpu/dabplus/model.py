@@ -22,6 +22,10 @@ class DabPlusConfig:
     channels: int
     aot: str = "lc"      # "lc" (AAC-LC) | "sbr" (HE-AAC) | "ps" (HE-AAC v2)
     pad_len: int = 0     # max X-PAD bytes per AU (DSE ancillary data)
+    bandwidth: int = 0   # -B core-coder bandwidth override in Hz
+                         # (AACENC_BANDWIDTH, odr-audioenc.cpp:315-318)
+    afterburner: bool = True  # -A disables (AACENC_AFTERBURNER); enables the
+                              # quantization refinement rounds in encode.py
 
     @property
     def has_sbr(self):
@@ -99,6 +103,9 @@ class DabPlusEncoder:
                     bw_hz = _BW_TAB[i][col]
                     break
             bw_hz = min(float(bw_hz), rate * 0.5)
+        if cfg.bandwidth > 0:
+            # user override of the core-coder bandwidth (-B)
+            bw_hz = min(float(cfg.bandwidth), rate * 0.5)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
         # PNS start band by per-channel bitrate (pnsparam.cpp ladder spirit);
@@ -161,14 +168,25 @@ class DabPlusEncoder:
         # worst case: 2-envelope transient grid per channel
         self.sbr_bits_est = (310 * self.core_channels) if self.is_sbr else 0
         pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
-        self.budget_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
+        base_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
+        # Cross-superframe bit reservoir (FDKaacEnc_updateBitres,
+        # aacenc.cpp:961-1000).  The DAB+ superframe is a HARD byte budget
+        # (tpenc_dab.cpp:403), so bits cannot truly move across superframes
+        # on the wire; a reservoir is implemented by *withholding* a slice of
+        # every superframe's budget (which becomes FIL padding when unused)
+        # that transient AUs in later superframes may draw on.  Worst case
+        # per superframe = num_aus*budget_au + bitres_max <= payload.
+        reserve_au = base_au // 16
+        self.budget_au = base_au - reserve_au
+        self.bitres_max = reserve_au * cfg.num_aus
         self._step = jax.jit(self._superframe_step)
 
     def init_state(self):
         from . import blockswitch as BS
         st = {"prev": jnp.zeros((self.S, self.core_channels, AT.N), self.dtype),
               "pend": jnp.zeros((self.S, self.cfg.channels,
-                                 self.cfg.au_samples), self.dtype)}
+                                 self.cfg.au_samples), self.dtype),
+              "bitres": jnp.zeros((self.S,), jnp.int32)}
         if self.is_sbr:
             st["ds_hist"] = jnp.zeros((self.S, self.core_channels, 62), self.dtype)
         st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
@@ -271,18 +289,21 @@ class DabPlusEncoder:
             o = E.encode_au(spec, self.pt, self.band_m, self.bol,
                             max_sfb, budget + leftover, nch, self.dtype,
                             tns_cfg=self.tns_cfg, transient=transient,
-                            short_ctx=self.short_ctx, is_short=seq == 2)
+                            short_ctx=self.short_ctx, is_short=seq == 2,
+                            refine_rounds=E.REFINE_ROUNDS
+                            if cfg.afterburner else 0)
             leftover = jnp.maximum(budget + leftover - o["bits"], 0).astype(jnp.int32)
             o["wseq"] = seq
             return leftover, {k: o[k] for k in
                               ["q", "gains", "books", "bits", "ms_used",
                                "tns_en", "tns_order", "tns_idx", "wseq"]}
 
-        _, out = jax.lax.scan(au_body, jnp.zeros((S,), jnp.int32),
-                              (prevs, grans, wseq))
+        bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
+        bitres, out = jax.lax.scan(au_body, bitres0, (prevs, grans, wseq))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
         out.update(sbr_out)
-        return dict(state, prev=grans[-1]), out
+        return dict(state, prev=grans[-1],
+                    bitres=jnp.minimum(bitres, self.bitres_max)), out
 
     def take_state(self, state, idx):
         """Per-stream state rows for churn (all leaves are [S, ...])."""

@@ -37,7 +37,11 @@ class _Station:
         self.channels = conf.get("channels", 1 if self.mode == "m" else 2)
         if self.codec == "mp2" and self.channels == 1:
             self.mode = "m"
-        self.input = FileInput(conf["input"], conf.get("format", "wav") == "raw",
+        from .io.queue import SampleQueue
+        self.queue = SampleQueue()
+        self.queue.configure(1 << 24, push_block=False, channels=self.channels)
+        self.input = FileInput(self.queue, conf["input"],
+                               conf.get("format", "wav") == "raw",
                                self.rate, self.channels,
                                conf.get("fifo_silence", False))
         self.input.prepare()
@@ -51,10 +55,7 @@ class _Station:
         nbytes = nsamples * self.channels * 2
         if not self.eof and not self.input.read_source(nbytes):
             self.eof = True
-        if len(self.input.queue) < nbytes:
-            self.input.queue += bytes(nbytes - len(self.input.queue))
-        buf = bytes(self.input.queue[:nbytes])
-        del self.input.queue[:nbytes]
+        buf, _, _ = self.queue.pop(nbytes)  # zero-fills past EOF
         pcm = np.frombuffer(buf, np.int16).reshape(-1, self.channels).T
         return pcm
 
