@@ -22,8 +22,8 @@ import numpy as np
 from . import tables as AT
 
 NB = AT.MAX_SFB_LONG  # 49 padded bands
-N_OFFSETS = 10        # rate-loop coarse offsets (scan)
-SF_OFF_RANGE = 6      # coarse step = fine-pass width
+SPILL_O = 40          # rate-loop offset where uniform spill-degradation
+                      # takes over from the capped threshold reduction
 REFINE_ROUNDS = 2     # afterburner refinement rounds (-A disables via
                       # encode_au(refine_rounds=0); AACENC_AFTERBURNER)
 REFINE_BANDS = 4      # worst-NMR bands refined per round
@@ -215,6 +215,82 @@ def spread_thresholds(en, pt, dtype):
     thr = jnp.maximum(thr, pt["ath"])
     thr = jnp.minimum(thr, en + 1e30 * (en == 0))  # never demand below-signal noise
     return thr
+
+
+def spread_energy(en, f_low, f_high):
+    """Max-spreading of band ENERGIES with the SprEn slopes (avoid-hole
+    detection input, FDKaacEnc_SpreadingMax on sfbSpreadEnergy)."""
+    s = en
+    for b in range(1, NB):
+        s = s.at[..., b].set(jnp.maximum(s[..., b],
+                                         s[..., b - 1] * f_high[..., b - 1]))
+    for b in range(NB - 2, -1, -1):
+        s = s.at[..., b].set(jnp.maximum(s[..., b],
+                                         s[..., b + 1] * f_low[..., b]))
+    return s
+
+
+def adapt_min_snr(minsnr, en, bandsel, dtype):
+    """Relax minSnr for bands far below the channel's average energy
+    (FDKaacEnc_adaptMinSnr, adj_thr.cpp:465-556): for avgEn/en > 10,
+    minSnr^expo with expo from 1.0 down to 0.25, capped at 0.8."""
+    nb_act = jnp.maximum(bandsel.sum(-1, keepdims=True), 1)
+    avg_en = (en * bandsel).sum(-1, keepdims=True) / nb_act.astype(dtype)
+    r = jnp.log2(jnp.maximum(avg_en, 1e-30)) - jnp.log2(jnp.maximum(en, 1e-30))
+    expo = jnp.maximum(1.375 - 0.375 * 0.30103 * r, 0.25)
+    red = jnp.minimum(jnp.power(jnp.maximum(minsnr, 1e-30), expo),
+                      jnp.asarray(0.8, dtype))
+    return jnp.where(r > np.log2(10.0), red, minsnr)
+
+
+def modify_min_snr(minsnr, en, bandsel, grp_start, grp_end, is_short_b,
+                   dtype):
+    """Tighten minSnr on local spectral peaks, relax it in valleys
+    (FDKaacEnc_initAvoidHoleFlag's modifyMinSnr part, adj_thr.cpp:569-640).
+
+    grp_start/grp_end: [.., NB] bool - spectral-neighbor access never
+    crosses a short-block group boundary."""
+    en_m1 = jnp.concatenate([en[..., :1], en[..., :-1]], -1)
+    en_p1 = jnp.concatenate([en[..., 1:], en[..., -1:]], -1)
+    # edge replication at group boundaries / ladder ends
+    last_act = grp_end | ~jnp.concatenate(
+        [bandsel[..., 1:], jnp.zeros_like(bandsel[..., :1])], -1)
+    en_m1 = jnp.where(grp_start, en, en_m1)
+    en_p1 = jnp.where(last_act, en, en_p1)
+    avg = 0.5 * (en_m1 + en_p1)
+    en_s = jnp.maximum(en, 1e-30)
+    # peak: demand down to -5 dB (long) / -3 dB (short)
+    floor_pk = jnp.where(is_short_b, jnp.asarray(0.5, dtype),
+                         jnp.asarray(0.316, dtype))
+    tmp_pk = jnp.maximum(0.8 * avg / en_s, floor_pk)
+    minsnr = jnp.where((en > avg) & bandsel,
+                       jnp.minimum(minsnr, tmp_pk), minsnr)
+    # valley: relax by up to x3.16, capped at 0.8
+    tmp_vl = jnp.minimum(jnp.minimum(jnp.asarray(0.8, dtype),
+                                     avg / (2.0 * en_s) * minsnr),
+                         minsnr * 3.16)
+    valley = (2.0 * en < avg) & (en > 0) & bandsel
+    return jnp.where(valley, tmp_vl, minsnr)
+
+
+def ms_adapt_min_snr(minsnr, en, spr_en, ms_used, dtype):
+    """Stereo M/S minSnr + spread-energy coupling
+    (FDKaacEnc_initAvoidHoleFlag, adj_thr.cpp:642-694).
+    minsnr/en/spr_en: [S, 2, NB]; ms_used: [S, NB]."""
+    en_m, en_s = en[:, 0], en[:, 1]
+    max_en = jnp.maximum(en_m, en_s)
+    max_thr = 0.25 * max_en * minsnr[:, 0]
+    out = []
+    for c, en_c in ((0, en_m), (1, en_s)):
+        cand = jnp.where(en_c > 0, max_thr / jnp.maximum(en_c, 1e-30), 0.0)
+        snr = jnp.maximum(minsnr[:, c], cand)
+        snr = jnp.where(snr <= 1.0, jnp.minimum(snr, 0.8), snr)
+        out.append(jnp.where(ms_used, snr, minsnr[:, c]))
+    minsnr = jnp.stack(out, axis=1)
+    spr_s = jnp.where(ms_used & (en_m > spr_en[:, 0]), 0.9 * en_s,
+                      spr_en[:, 1])
+    spr_m = jnp.where(ms_used & (en_s > spr_s), 0.9 * en_m, spr_en[:, 0])
+    return minsnr, jnp.stack([spr_m, spr_s], axis=1)
 
 
 def estimate_scf(spec_abs, thr, bctx, dtype):
@@ -517,24 +593,83 @@ def side_info_bits(books, gains, bandsel, dtype, sect_hdr=None,
     return sect_bits + scf_bits + noise_bits + fixed
 
 
-def ms_transform(spec, bctx, bandsel, dtype):
-    """Per-band mid/side decision + transform (ms_stereo.cpp analogue).
+def pre_echo_control(thr, thr_nm1, pre_flag, seq, short_ctx, is_short, dtype):
+    """Limit frame-to-frame masking-threshold increase to 2x
+    (FDKaacEnc_PreEchoControl, pre_echo_control.cpp:103-180 + the psy_main
+    STOP/START skip logic, psy_main.cpp:975-1007): after a quiet frame, a
+    loud frame's quantization noise may not jump above twice the quiet
+    threshold - THE pre-echo guard for long/START frames, where the MDCT
+    window already contains the upcoming attack.  Without it our transient
+    pre-window noise sat ~15 dB above the reference's.
 
-    spec: [S, 2, 960] -> (spec', ms_used [S, NB])."""
+    thr: [S, ch, NB]; thr_nm1: previous AU's UNCONTROLLED thresholds;
+    pre_flag: [S] bool (False after START/first AU); seq: [S] window
+    sequence.  For EIGHT_SHORT AUs the control runs group-sequentially on
+    the grouped {4,4} ladder (group 1 capped by the previous AU's group 2,
+    group 2 by this AU's group 1).  Returns (thr', thr_nm1', pre_flag')."""
+    inc, rem = 2.0, 0.01
+    cap = lambda t, prev: jnp.maximum(jnp.minimum(t, inc * prev), rem * t)
+    flag_eff = (pre_flag & (seq != 3))[:, None, None]
+    ctl_long = cap(thr, thr_nm1)
+    if short_ctx is not None:
+        # grouped short ladder: band i of group g lives at g*nsfb + i
+        prev_g2 = thr_nm1[..., short_ctx["prev_grp_map"]]
+        g1 = short_ctx["g1_mask"]  # [NB] True on group-1 bands
+        ctl_g1 = cap(thr, prev_g2)
+        ctl_g2 = cap(thr, thr[..., short_ctx["prev_grp_map"]])
+        ctl_short = jnp.where(g1, ctl_g1, ctl_g2)
+        # group-2 control is within-AU and applies even without history
+        short_always = jnp.where(g1, thr, ctl_g2)
+        is_short_b = is_short[:, None, None]
+        ctl = jnp.where(is_short_b, ctl_short, ctl_long)
+        no_hist = jnp.where(is_short_b, short_always, thr)
+    else:
+        ctl = ctl_long
+        no_hist = thr
+    thr_out = jnp.where(flag_eff, ctl, no_hist)
+    return thr_out, thr, seq != 1
+
+
+def ms_stereo(spec, en, thr, bctx, bandsel, dtype):
+    """Per-band mid/side decision + transform + psy-data substitution
+    (FDKaacEnc_MsStereoProcessing, ms_stereo.cpp:109-240).
+
+    The decision compares perceptual-entropy proxies: MS wins when
+    (minThr/max(enM,minThr))*(minThr/max(enS,minThr)) beats the L/R
+    product.  On MS bands the thresholds become min(thrL, thrR) for BOTH
+    the mid and side channel - derived from the L/R-domain masking, never
+    re-spread from the MS energies (that was a ~7 dB NMR noise floor: the
+    decoded L/R noise is the SUM of the M and S noise, so each must honour
+    the stricter of the two channel masks).
+
+    spec/en/thr: [S, 2, 960]/[S, 2, NB] L/R domain ->
+    (spec', en', thr', ms_used [S, NB]) with MS bands substituted."""
     m = 0.5 * (spec[:, 0] + spec[:, 1])
     s = 0.5 * (spec[:, 0] - spec[:, 1])
-    en_lr = bctx.energy(spec[:, 0]) + bctx.energy(spec[:, 1])
-    en_ms = bctx.energy(m) + bctx.energy(s)
-    use = (en_ms < 0.8 * en_lr) & bandsel
+    en_m = bctx.energy(m)
+    en_s = bctx.energy(s)
+    thr_l, thr_r = thr[:, 0], thr[:, 1]
+    en_l, en_r = en[:, 0], en[:, 1]
+    min_thr = jnp.minimum(thr_l, thr_r)
+    pnlr = (thr_l / jnp.maximum(en_l, thr_l)) * \
+        (thr_r / jnp.maximum(en_r, thr_r))
+    pnms = (min_thr / jnp.maximum(en_m, min_thr)) * \
+        (min_thr / jnp.maximum(en_s, min_thr))
+    use = (pnms > pnlr) & bandsel
     use_l = bctx.to_lines(use)  # [S, 960]
     out = jnp.stack([jnp.where(use_l, m, spec[:, 0]),
                      jnp.where(use_l, s, spec[:, 1])], axis=1)
-    return out, use
+    en2 = jnp.stack([jnp.where(use, en_m, en_l),
+                     jnp.where(use, en_s, en_r)], axis=1)
+    thr2 = jnp.stack([jnp.where(use, min_thr, thr_l),
+                      jnp.where(use, min_thr, thr_r)], axis=1)
+    return out, en2, thr2, use
 
 
 def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
               tns_cfg=None, transient=None, short_ctx=None, is_short=None,
-              refine_rounds=REFINE_ROUNDS):
+              refine_rounds=REFINE_ROUNDS, modify_minsnr=True,
+              pre_state=None, seq=None):
     """Rate-controlled quantization of one AU for all streams.
 
     spec: [S, ch, 960] (window-major [8x120] layout for short-block
@@ -560,7 +695,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         pt_sel = {k: jnp.where(is_short[:, None, None],
                                short_ctx["pt"][k][None, None],
                                jnp.asarray(pt[k])[None, None])
-                  for k in ("f_low", "f_high", "ath")}
+                  for k in ("f_low", "f_high", "ath", "minsnr",
+                            "f_low_spr", "f_high_spr")}
         nlines = jnp.where(t1, short_ctx["nlines"][None],
                            jnp.maximum(band_m.sum(-1), 1.0)[None])[:, None]
     else:
@@ -595,22 +731,60 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         tns_idx = jnp.zeros((S, n_ch_s, TNS_MAX_ORDER), jnp.int32)
         tns_bits = jnp.zeros((S, n_ch_s), jnp.int32)
 
-    ms_used = jnp.zeros(spec.shape[:1] + (NB,), bool)
-    if spec.shape[1] == 2:
-        spec, ms_used = ms_transform(spec, bctx, bandsel, dtype)
+    # psy on the L/R domain first (fdk order: energies -> spreading ->
+    # thresholds, THEN MS substitution, psy_main.cpp:872-1218)
     en = bctx.energy(spec)
     thr = spread_thresholds(en, pt_sel, dtype)
-    scf0 = estimate_scf(jnp.abs(spec), thr, bctx, dtype)
+    pre_out = {}
+    if pre_state is not None:
+        thr, thr_nm1, pre_flag = pre_echo_control(
+            thr, pre_state[0], pre_state[1], seq, short_ctx, is_short, dtype)
+        pre_out = dict(thr_nm1=thr_nm1, pre_flag=pre_flag)
+    en_lr = en  # avoid-hole spread energies stay L/R-domain
+    ms_used = jnp.zeros(spec.shape[:1] + (NB,), bool)
+    if spec.shape[1] == 2:
+        spec, en, thr, ms_used = ms_stereo(spec, en, thr, bctx, bandsel, dtype)
     # CPE: +1 common_window, +2 ms_mask_present, + per-band ms_used bits
     elem_fixed = jnp.where(n_ch == 2,
                            3 + 4 + 1 + 2 + ics_fixed + nbands_tx,
                            3 + 4 + ics_fixed)
 
-    # rate-pressure weighting: weak bands lose precision faster than dominant
-    # ones (the effect of adj_thr.cpp's avoid-hole logic, re-expressed)
-    line_db = 10.0 * jnp.log10(jnp.maximum(en / nlines, 1e-10))
-    peak_db = line_db.max(-1, keepdims=True)
-    offw = 0.35 + 0.65 * jnp.clip((peak_db - line_db) / 18.0, 0.0, 2.5)  # [S,ch,NB]
+    # ---- avoid-hole machinery (adj_thr.cpp initAvoidHoleFlag/adaptMinSnr,
+    # float redesign): a per-band minimum-SNR cap keeps locally-dominant
+    # bands from being starved when the rate loop raises thresholds
+    bsel_c = bandsel[:, None] if bandsel.ndim == 2 else bandsel
+    spr_en = spread_energy(en_lr,
+                           jnp.broadcast_to(pt_sel["f_low_spr"], en.shape),
+                           jnp.broadcast_to(pt_sel["f_high_spr"], en.shape))
+    # decrease spread energy by 3 dB (long) / 2 dB (short)
+    if is_short is not None:
+        spr_scale = jnp.where(is_short[:, None, None], 0.63, 0.5)
+        is_short_b = is_short[:, None, None]
+        grp_start = jnp.where(is_short_b, short_ctx["grp_start"][None, None],
+                              (jnp.arange(NB) == 0)[None, None])
+        grp_end = jnp.where(is_short_b, short_ctx["grp_end"][None, None],
+                            jnp.zeros((NB,), bool)[None, None])
+    else:
+        spr_scale = 0.5
+        is_short_b = jnp.zeros((S, 1, 1), bool)
+        grp_start = (jnp.arange(NB) == 0)[None, None]
+        grp_end = jnp.zeros((NB,), bool)[None, None]
+    spr_en = spr_en * spr_scale
+    minsnr = jnp.broadcast_to(pt_sel["minsnr"], en.shape).astype(dtype)
+    minsnr = adapt_min_snr(minsnr, en, bsel_c, dtype)
+    if modify_minsnr:
+        minsnr = modify_min_snr(minsnr, en, bsel_c, grp_start, grp_end,
+                                is_short_b, dtype)
+    if spec.shape[1] == 2:
+        minsnr, spr_en = ms_adapt_min_snr(minsnr, en, spr_en, ms_used, dtype)
+    # NO_AH: band is masked by its neighbours' spread energy, or minSnr
+    # demands nothing - no cap needed
+    no_ah = (spr_en > en) | (minsnr > 1.0)
+    cap_thr = jnp.maximum(en * minsnr, thr)
+    floor29 = en * jnp.asarray(10.0 ** -2.9, dtype)
+    thr4 = jnp.power(jnp.maximum(thr, 1e-30), 0.25)
+    ffak = bctx.reduce_f(jnp.sqrt(jnp.abs(spec)))
+    log_ffak = jnp.log10(jnp.maximum(ffak, 1e-30))
 
     # |x|^(3/4) computed once; the rate loop only rescales by 2^(-3/16 gain)
     mag075 = jnp.power(jnp.abs(spec), 0.75)
@@ -635,6 +809,33 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         pns_mask = jnp.zeros(en.shape, bool)
         pns_nrg = jnp.zeros(en.shape, jnp.int32)
         pns_line = jnp.zeros(spec.shape, bool)
+
+    # ---- scalefactor-estimate correction (FDKaacEnc_improveScf,
+    # sf_estim.cpp): the 3GPP form-factor formula is biased for tonal
+    # bands; probe-quantize at the threshold target, measure the REAL
+    # distortion and fold the per-band bias into the formula so the rate
+    # loop's thresholds are actually met on the wire
+    spec_abs0 = jnp.abs(spec)
+    log_thr = jnp.log10(jnp.maximum(thr, 1e-30))
+
+    def band_dist(gains):
+        gf = gains.astype(dtype)
+        scale = bctx.to_lines(jnp.exp2(-0.1875 * gf))
+        qq = jnp.clip(jnp.floor(mag075 * scale + 0.4054), 0.0, 8191.0)
+        deq = jnp.power(qq, 4.0 / 3.0) * bctx.to_lines(jnp.exp2(0.25 * gf))
+        return bctx.reduce_f((spec_abs0 - deq) ** 2)
+
+    scf_corr = jnp.zeros(en.shape, dtype)
+    for _ in range(2):
+        g_probe = jnp.clip(jnp.floor(
+            8.8585 * (jnp.log10(6.75 * thr) - log_ffak) + scf_corr
+        ).astype(jnp.int32), -100, 155)
+        dist = band_dist(g_probe)
+        # one-directional like the reference: only lower scfs whose real
+        # distortion overshoots the threshold (never trade away headroom)
+        scf_corr = jnp.clip(
+            scf_corr + jnp.round(8.8585 * (log_thr - jnp.log10(
+                jnp.maximum(dist, 1e-30)))), -16.0, 0.0)
 
     def count_for_gains(gains, use_dp=True):
         """Quantize + exact bit count at explicit per-band gains.  With
@@ -668,21 +869,37 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         return total, q, books, g_tx
 
     def try_offset(o, use_dp=True):
-        o = jnp.asarray(o)
-        if o.ndim == 1:  # per-stream offsets in the fine pass
+        """Threshold-reduction rate-loop step (reduceThresholdsCBR,
+        adj_thr.cpp:988-1053 in float): thr_red = (thr^1/4 + 2^(o/2))^4,
+        capped at en*minSnr on avoid-hole bands, floored at en-29dB; for
+        o < 0 the surplus budget buys extra precision below the psy
+        threshold (our hard per-superframe budget makes that free)."""
+        o = jnp.asarray(o, dtype)
+        if o.ndim == 1:  # per-stream offsets
             o = o[:, None, None]
-        gains = jnp.clip(scf0 + jnp.floor(o * offw).astype(jnp.int32), -100, 155)
+        redval = jnp.exp2(0.5 * o)
+        thr_red = jnp.power(thr4 + redval, 4.0)
+        thr_red = jnp.where(no_ah, thr_red, jnp.minimum(thr_red, cap_thr))
+        thr_red = jnp.maximum(thr_red, floor29)
+        thr_red = thr_red * jnp.exp2(jnp.minimum(o, 0.0))
+        # past the caps, degrade uniformly so any budget is attainable
+        spill = jnp.maximum(o - SPILL_O, 0.0)
+        scf = jnp.floor(8.8585 * (jnp.log10(6.75 * thr_red) - log_ffak)
+                        + scf_corr + spill).astype(jnp.int32)
+        # padded/inactive bands carry ATH=1e30 thresholds - exclude them
+        # BEFORE the window clamp or their 155-clipped scfs drag every real
+        # band's gain to the ceiling (empty-AU bug on the short ladder)
+        gains = jnp.where(bandsel_c, jnp.clip(scf, -100, 155), -100)
         # clamp gains into a window of the per-channel max so dpcm stays legal
         gmax = gains.max(-1, keepdims=True)
         gains = jnp.clip(gains, gmax - 60, gmax)
         total, q, books, g_tx = count_for_gains(gains, use_dp)
         return total, (q, g_tx, books)
 
-    # bisect the global-gain offset: bits(o) is (near-)monotone decreasing in
-    # o, so the smallest fitting offset in [O_LO, O_HI] is found with
+    # bisect the reduction exponent: bits(o) is monotone non-increasing in o,
+    # so the smallest fitting offset in [O_LO, O_HI] is found with
     # ceil(log2(range)) exact counts instead of a dense coarse+fine scan
-    O_LO = -SF_OFF_RANGE
-    O_HI = (N_OFFSETS - 1) * SF_OFF_RANGE - SF_OFF_RANGE + SF_OFF_RANGE - 1
+    O_LO, O_HI = -64, 63
     n_steps = int(np.ceil(np.log2(O_HI - O_LO + 1)))
     lo = jnp.full_like(budget_bits, O_LO)
     hi = jnp.full_like(budget_bits, O_HI)
@@ -732,4 +949,4 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             refine, (q, gains, books, bits), None, length=refine_rounds)
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
-                tns_idx=tns_idx)
+                tns_idx=tns_idx, **pre_out)

@@ -74,6 +74,15 @@ class DabPlusEncoder:
         pt_np = AT.band_psy_tables(rate)
         self.pt = {k: jnp.asarray(v, dtype) for k, v in pt_np.items() if k != "nbands"}
         self.nbands = pt_np["nbands"]
+        # avoid-hole tables: bitrate-aware per-band minimum-SNR ladder +
+        # spread-energy slopes (adj_thr.cpp / psy_configuration.cpp)
+        ch_bitrate = cfg.bitrate // (1 if cfg.aot == "ps" else cfg.channels)
+        self.modify_minsnr = ch_bitrate >= 20000
+        self.pt["minsnr"] = jnp.asarray(
+            AT.min_snr_ladder(ch_bitrate, rate), dtype)
+        spr_np = AT.spread_energy_tables(rate, ch_bitrate)
+        self.pt["f_low_spr"] = jnp.asarray(spr_np["f_low"], dtype)
+        self.pt["f_high_spr"] = jnp.asarray(spr_np["f_high"], dtype)
         self.sfb_off = AT.sfb_offsets(rate)
         self.sfb_off_short = AT.sfb_short_offsets(rate)
         self.nsfb_short = len(self.sfb_off_short) - 1
@@ -82,11 +91,14 @@ class DabPlusEncoder:
         if self.is_sbr:
             self.sbr_params = SBR.SbrParams(cfg.sample_rate)
             bw_hz = self.sbr_params.k0 * self.sbr_params.band_hz  # crossover
-            # half-band decimation filter (63-tap windowed sinc)
-            taps = 63
+            # 127-tap Kaiser(12) half-band: ~-119 dB stopband.  The old
+            # 63-tap Hamming design aliased at -66 dB, which WAS the
+            # SBR-mode core noise floor (measured via the PEAQ harness)
+            taps = 127
             n = np.arange(taps) - (taps - 1) / 2
-            h = np.sinc(n / 2.0) / 2.0 * np.hamming(taps)
+            h = np.sinc(n / 2.0) / 2.0 * np.kaiser(taps, 12.0)
             self.ds_filter = jnp.asarray(h, dtype)
+            self.ds_taps = taps
         else:
             self.sbr_params = None
             # CBR bandwidth table for 960/1024 frames (bandwidth.cpp:114-118,
@@ -132,14 +144,28 @@ class DabPlusEncoder:
         idxs = np.arange(E.NB)
         band_m_s = AT.short_band_matrix(rate)
         pt_s_np = AT.short_band_psy_tables(rate)
+        spr_s_np = AT.spread_energy_tables(rate, ch_bitrate, short=True)
+        pt_short = {k: jnp.asarray(pt_s_np[k], dtype)
+                    for k in ("f_low", "f_high", "ath")}
+        pt_short["minsnr"] = jnp.asarray(
+            AT.min_snr_ladder(ch_bitrate, rate, short=True), dtype)
+        pt_short["f_low_spr"] = jnp.asarray(spr_s_np["f_low"], dtype)
+        pt_short["f_high_spr"] = jnp.asarray(spr_s_np["f_high"], dtype)
         self.short_ctx = {
             "band_m": jnp.asarray(band_m_s, dtype),
             "bol": jnp.asarray(AT.short_band_of_line(rate)),
-            "pt": {k: jnp.asarray(pt_s_np[k], dtype)
-                   for k in ("f_low", "f_high", "ath")},
+            "pt": pt_short,
             "bandsel": jnp.asarray((idxs < nbb) & (idxs % nsfb < msfb)),
             "force_break": jnp.asarray((idxs % nsfb == 0) & (idxs > 0)
                                        & (idxs < nbb)),
+            "grp_start": jnp.asarray(idxs % nsfb == 0),
+            "grp_end": jnp.asarray(idxs % nsfb == nsfb - 1),
+            # pre-echo control over the grouped {4,4} ladder: swap map
+            # between the two groups' band positions
+            "prev_grp_map": jnp.asarray(
+                np.where(idxs < nsfb, idxs + nsfb,
+                         np.where(idxs < 2 * nsfb, idxs - nsfb, idxs))),
+            "g1_mask": jnp.asarray(idxs < nsfb),
             "nbands_tx": AT.N_GROUPS * msfb,
             "nlines": jnp.asarray(np.maximum(band_m_s.sum(-1), 1.0), dtype),
         }
@@ -186,9 +212,15 @@ class DabPlusEncoder:
         st = {"prev": jnp.zeros((self.S, self.core_channels, AT.N), self.dtype),
               "pend": jnp.zeros((self.S, self.cfg.channels,
                                  self.cfg.au_samples), self.dtype),
-              "bitres": jnp.zeros((self.S,), jnp.int32)}
+              "bitres": jnp.zeros((self.S,), jnp.int32),
+              # pre-echo control history (uncontrolled thresholds + the
+              # skip flag cleared after START/first frames)
+              "thr_nm1": jnp.full((self.S, self.core_channels, E.NB), 1e30,
+                                  self.dtype),
+              "pre_flag": jnp.zeros((self.S,), bool)}
         if self.is_sbr:
-            st["ds_hist"] = jnp.zeros((self.S, self.core_channels, 62), self.dtype)
+            st["ds_hist"] = jnp.zeros((self.S, self.core_channels,
+                           self.ds_taps - 1), self.dtype)
         st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
         return st
 
@@ -260,12 +292,13 @@ class DabPlusEncoder:
             sbr_out["sbr_noise_q"] = jnp.moveaxis(ton["noise_q"], 0, 1)
             sbr_out["sbr_invf"] = jnp.moveaxis(ton["invf"], 0, 1)
             sbr_out["sbr_addharm"] = jnp.moveaxis(ton["add_harm"], 0, 1)
-            # 2:1 decimation for the core (63-tap half-band, carried history)
+            # 2:1 decimation for the core (half-band FIR, carried history)
             xx = jnp.concatenate([state["ds_hist"], x], axis=-1)
             # correlate: y[m] = sum_k h[k] * xx[2m + k]
-            idx = 2 * np.arange(n // 2)[:, None] + np.arange(63)[None, :]
+            idx = 2 * np.arange(n // 2)[:, None] + \
+                np.arange(self.ds_taps)[None, :]
             y = (xx[..., idx] * self.ds_filter).sum(-1)
-            state = dict(state, ds_hist=xx[..., -62:])
+            state = dict(state, ds_hist=xx[..., -(self.ds_taps - 1):])
             x = y  # core-rate signal [S, ch, n//2]
 
         grans = x.reshape(S, ch, nau, AT.N).transpose(2, 0, 1, 3)  # [nau,S,ch,960]
@@ -276,7 +309,7 @@ class DabPlusEncoder:
         nch = jnp.full((S,), self.core_channels, jnp.int32)
 
         def au_body(carry, xs):
-            leftover = carry
+            leftover, thr_nm1, pre_flag = carry
             prev, cur, seq = xs
             spec = E.mdct_frame_switched(prev, cur, self.cos_basis,
                                          self.wvecs, self.short_basis,
@@ -291,19 +324,25 @@ class DabPlusEncoder:
                             tns_cfg=self.tns_cfg, transient=transient,
                             short_ctx=self.short_ctx, is_short=seq == 2,
                             refine_rounds=E.REFINE_ROUNDS
-                            if cfg.afterburner else 0)
+                            if cfg.afterburner else 0,
+                            modify_minsnr=self.modify_minsnr,
+                            pre_state=(thr_nm1, pre_flag), seq=seq)
             leftover = jnp.maximum(budget + leftover - o["bits"], 0).astype(jnp.int32)
             o["wseq"] = seq
-            return leftover, {k: o[k] for k in
-                              ["q", "gains", "books", "bits", "ms_used",
-                               "tns_en", "tns_order", "tns_idx", "wseq"]}
+            return (leftover, o["thr_nm1"], o["pre_flag"]), \
+                {k: o[k] for k in
+                 ["q", "gains", "books", "bits", "ms_used",
+                  "tns_en", "tns_order", "tns_idx", "wseq"]}
 
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
-        bitres, out = jax.lax.scan(au_body, bitres0, (prevs, grans, wseq))
+        (bitres, thr_nm1, pre_flag), out = jax.lax.scan(
+            au_body, (bitres0, state["thr_nm1"], state["pre_flag"]),
+            (prevs, grans, wseq))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
         out.update(sbr_out)
         return dict(state, prev=grans[-1],
-                    bitres=jnp.minimum(bitres, self.bitres_max)), out
+                    bitres=jnp.minimum(bitres, self.bitres_max),
+                    thr_nm1=thr_nm1, pre_flag=pre_flag), out
 
     def take_state(self, state, idx):
         """Per-stream state rows for churn (all leaves are [S, ...])."""

@@ -206,3 +206,74 @@ def short_band_psy_tables(rate, nbands=MAX_SFB_LONG):
             out["f_low"][b0 + nsfb - 1] = 0.0
             out["f_high"][b0 + nsfb - 1] = 0.0
     return out
+
+
+def fdk_bark(f_hz):
+    """fdk's bark approximation (FDKaacEnc_BarcLineValue,
+    psy_configuration.cpp): 13.3*atan(0.00076 f) + 3.5*atan(1.333e-4 f)^2."""
+    f = np.asarray(f_hz, np.float64)
+    return 13.3 * np.arctan(0.00076 * f) + \
+        3.5 * np.arctan(4.0 / 3.0e4 * f) ** 2
+
+
+def min_snr_ladder(ch_bitrate, rate, short=False, nbands=MAX_SFB_LONG):
+    """Per-band minimum-SNR ratios (noise may not exceed en*minSnr in coded
+    bands), the bitrate-aware avoid-holes floor (FDKaacEnc_initMinSnr,
+    psy_configuration.cpp:586-706 / 3GPP TS 26.403).  Returns [nbands]
+    ratios in (0, 1]; padded bands get 1.0 (no constraint)."""
+    n_lines = NS if short else N
+    off = sfb_short_offsets(rate) if short else sfb_offsets(rate)
+    nsfb = len(off) - 1
+    line_bark = fdk_bark(off * rate / (2.0 * n_lines))
+    # pe budget per window, distributed over active barks
+    pe_per_window = 1.18 * 0.024 * n_lines * ch_bitrate / rate
+    if short:
+        pe_per_window *= 1.5
+    barc_factor = min(line_bark[nsfb], 24.0) / 25.0
+    pe_const = pe_per_window / barc_factor
+    out = np.ones(nbands)
+    for sfb in range(nsfb):
+        barc_w = line_bark[sfb + 1] - line_bark[sfb]
+        pe_part = pe_const * barc_w / (off[sfb + 1] - off[sfb])
+        snr = max(2.0 ** pe_part / 2.0 - 1.5, 1.0)
+        out[sfb] = np.clip(1.0 / snr, 0.003, 0.8)
+    if short:  # replicate over the grouped layout
+        grouped = np.ones(nbands)
+        for g in range(N_GROUPS):
+            grouped[g * nsfb:(g + 1) * nsfb] = out[:nsfb]
+        return grouped
+    return out
+
+
+def spread_energy_tables(rate, ch_bitrate, short=False, nbands=MAX_SFB_LONG):
+    """Spread-ENERGY slope factors (sfbMask*FactorSprEn,
+    psy_configuration.cpp initSpreading): long 30 dB/bark down, 20 (15 below
+    20 kbps) up; short 20 down, 15 up.  Used for avoid-hole detection, not
+    masking."""
+    if short:
+        lo_db, hi_db = 2.0, 1.5
+        off = sfb_short_offsets(rate)
+        n_lines = NS
+    else:
+        lo_db = 3.0
+        hi_db = 2.0 if ch_bitrate > 20000 else 1.5
+        off = sfb_offsets(rate)
+        n_lines = N
+    nsfb = len(off) - 1
+    centers = 0.5 * (off[:-1] + off[1:]) * rate / (2.0 * n_lines)
+    dbark = np.diff(bark(centers))
+    f_low1 = 10.0 ** (-lo_db * dbark)
+    f_high1 = 10.0 ** (-hi_db * dbark)
+    out = dict(f_low=np.zeros(nbands), f_high=np.zeros(nbands))
+    if short:
+        for g in range(N_GROUPS):
+            b0 = g * nsfb
+            out["f_low"][b0:b0 + nsfb - 1] = f_low1
+            out["f_high"][b0:b0 + nsfb - 1] = f_high1
+            if g + 1 < N_GROUPS:
+                out["f_low"][b0 + nsfb - 1] = 0.0
+                out["f_high"][b0 + nsfb - 1] = 0.0
+    else:
+        out["f_low"][:nsfb - 1] = f_low1
+        out["f_high"][:nsfb - 1] = f_high1
+    return out
