@@ -30,7 +30,7 @@ REFINE_BANDS = 4      # worst-NMR bands refined per round
 
 
 TNS_MAX_ORDER = 12      # LC long windows (14496-3 table 4.156)
-TNS_GAIN_THRESH = 1.41  # prediction gain >~ 1.5 dB (with transient gate)
+TNS_GAIN_THRESH = 1.437  # aacenc_tns.cpp:447 threshOn[HIFILT]=1437 (/1000)
 _TNS_IQFAC4 = (8.0 - 0.5) / (np.pi / 2.0)  # 4-bit arcsine quantizer
 
 
@@ -81,7 +81,12 @@ def tns_analysis(spec, start, stop, dtype):
     nz = idx != 0
     order = jnp.where(nz.any(-1),
                       TNS_MAX_ORDER - jnp.argmax(nz[..., ::-1], -1), 0)
-    enable = (pred_gain > TNS_GAIN_THRESH) & (order > 0)
+    # fdk enables on prediction gain OR on large quantized-coefficient
+    # energy (aacenc_tns.cpp:869-870: predictionGain > threshOn ||
+    # sumSqrCoef > tnsLimitOrder/2 + 2) - no transient gating
+    sum_sqr = (idx * idx).sum(-1)
+    enable = ((pred_gain > TNS_GAIN_THRESH)
+              | (sum_sqr > TNS_MAX_ORDER // 2 + 2)) & (order > 0)
     idx = jnp.where(jnp.arange(TNS_MAX_ORDER) < order[..., None], idx, 0)
 
     # step-up with the QUANTIZED reflection coefficients (what the decoder
@@ -713,11 +718,6 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     if tns_cfg is not None:
         tns_en, tns_order, tns_idx, ah = tns_analysis(
             spec, tns_cfg["start_line"], tns_cfg["stop_line"], dtype)
-        if transient is not None:
-            # steady harmonic spectra also show high spectral prediction
-            # gain, but shaping noise into their (flat) temporal envelope
-            # only hurts - gate on a real time-domain attack
-            tns_en = tns_en & transient
         if is_short is not None:
             # short blocks already confine noise to 5 ms windows; our TNS
             # filter range/syntax is long-window only
