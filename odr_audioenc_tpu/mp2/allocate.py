@@ -234,6 +234,19 @@ def _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype):
     }
 
 
+def _ordered_key_bits(keys):
+    """Order-preserving bijection IEEE float -> unsigned int of the same
+    width (sign-magnitude flip), so `a < b` on floats equals `m(a) < m(b)`
+    on uints.  Returns (mapped [same shape] uint, bit width)."""
+    if keys.dtype == jnp.float64:
+        u = jax.lax.bitcast_convert_type(keys, jnp.uint64)
+        top = jnp.uint64(1 << 63)
+        return jnp.where(u & top != 0, ~u, u | top), 64
+    u = jax.lax.bitcast_convert_type(keys.astype(jnp.float32), jnp.uint32)
+    top = jnp.uint32(1 << 31)
+    return jnp.where(u & top != 0, ~u, u | top), 32
+
+
 def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
     """Greedy min-MNR allocation (a_bit_allocation_new, encode_new.c:1078-1187),
     computed as sorted-rung prefix + exact sequential tail.
@@ -252,36 +265,45 @@ def a_bit_allocation(smr, scfsi, ft, sblimit, nch, jsbound, adb, dtype):
     ad = adb - (bbal + BERR + BANC)
 
     lt = _ladder_tables(smr, scfsi, ft, sblimit, nch, jsbound, dtype)
-    # ONE stable multi-operand sort carries the costs and original positions
-    # along; the taken set is then recovered by comparing every rung against
-    # the (key, tie, pos) of the first unaffordable sorted slot - a purely
-    # elementwise test, so no inverse-permutation scatter is needed.
+    # The maximal affordable prefix in (key, tie, pos) order is found WITHOUT
+    # sorting: a bitwise bisection on the order-preserving integer image of
+    # the float key finds the threshold key (the one whose rung group
+    # straddles the budget), then a second 16-bit bisection on the composite
+    # (tie*1024 + pos) index orders rungs inside that group.  Each bisection
+    # step is one fused masked reduction over [B, R] - no [B,1024] sort
+    # network, no gathers (a 4-operand lax.sort at this size costs several
+    # ms on TPU; 48 masked reduces cost well under 1 ms).
     R = lt["keys"].shape[-1]
-    pos = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), lt["keys"].shape)
-    keys_s, tie_s, cost_s, pos_s = jax.lax.sort(
-        (lt["keys"], lt["tie"].astype(jnp.int32), lt["cost"], pos),
-        num_keys=2, dimension=-1, is_stable=True)
-    cum = jnp.cumsum(cost_s, axis=-1)
-    afford = cum <= ad[:, None]
-    # allocated prefix: positions before the first unaffordable rung
-    first_fail = jnp.argmin(afford, axis=-1)  # first False (or 0 if all True)
-    all_true = afford.all(axis=-1)
-    nprefix = jnp.where(all_true, R, first_fail)
+    pos = jnp.arange(R, dtype=jnp.int32)[None, :]
+    ikey, nbits = _ordered_key_bits(lt["keys"])            # [B, R] uint
+    cost = lt["cost"].astype(jnp.int32)
+    total = cost.sum(-1)
+    all_true = total <= ad
+    one = jnp.ones((), ikey.dtype)
 
-    # threshold = sort tuple of the first NON-taken slot (stable sort makes
-    # "strictly before the threshold in sort order" an elementwise predicate)
-    thr = jnp.clip(nprefix, 0, R - 1)[:, None]
-    kt = jnp.take_along_axis(keys_s, thr, -1)
-    tt = jnp.take_along_axis(tie_s, thr, -1)
-    pt = jnp.take_along_axis(pos_s, thr, -1)
-    tie_i = lt["tie"].astype(jnp.int32)
-    before_thr = (lt["keys"] < kt) | \
-                 ((lt["keys"] == kt) & ((tie_i < tt) |
-                                        ((tie_i == tt) & (pos < pt))))
+    def key_step(i, t):
+        cand = t | (one << (nbits - 1 - i).astype(ikey.dtype))
+        s = jnp.where(ikey < cand[:, None], cost, 0).sum(-1)
+        return jnp.where(s <= ad, cand, t)
+
+    tk = jax.lax.fori_loop(0, nbits, key_step,
+                           jnp.zeros((B,), ikey.dtype))    # threshold key
+    below_grp = ikey < tk[:, None]
+    in_grp = ikey == tk[:, None]
+    ad2 = ad - jnp.where(below_grp, cost, 0).sum(-1)
+    comp = lt["tie"].astype(jnp.int32) * R + pos           # strict in-group order
+
+    def comp_step(i, c):
+        cand = c | (jnp.int32(1) << (15 - i))
+        s = jnp.where(in_grp & (comp < cand[:, None]), cost, 0).sum(-1)
+        return jnp.where(s <= ad2, cand, c)
+
+    # comp = tie*1024 + pos < 64*1024 + 1024, but tie<=63 and pos<=1023 so
+    # comp <= 65535: 16 bits exactly
+    ck = jax.lax.fori_loop(0, 16, comp_step, jnp.zeros((B,), jnp.int32))
+    before_thr = below_grp | (in_grp & (comp < ck[:, None]))
     taken = jnp.where(all_true[:, None], lt["valid"], before_thr & lt["valid"])
-    spent0 = jnp.where(nprefix > 0,
-                       jnp.take_along_axis(cum, jnp.maximum(nprefix - 1, 0)[:, None], -1)[:, 0],
-                       0)
+    spent0 = jnp.where(all_true, total, jnp.where(before_thr, cost, 0).sum(-1))
 
     ba0 = taken.reshape(B, 2, SBLIMIT, 16).sum(axis=-1)         # rungs are consecutive
     # mirror joint ladders into channel 1
