@@ -28,9 +28,12 @@ import numpy as np
 
 LONG, START, SHORT, STOP = 0, 1, 2, 3
 
-_HP_C0 = 0.5095   # feedback coeff (block_switch.cpp:130)
-_HP_C1 = 0.7548   # feedforward coeff
-_HP_TAPS = 48     # (-0.5095)^48 ~ 9e-15: exact to f32
+_HP_POLE = 0.5095  # feedback pole: hiPassCoeff[0] = -0.5095 enters the
+                   # recurrence as s1 = c1*(u-u1) - (-0.5095)*s1' (the t2
+                   # SUBTRACTION in CalcWindowEnergy, block_switch.cpp:392-395)
+                   # so the pole is +0.5095, NOT alternating-sign
+_HP_C1 = 0.7548    # feedforward coeff
+_HP_TAPS = 48      # 0.5095^48 ~ 9e-15: exact to f32
 _ACC_OLD, _ACC_NEW = 0.7, 0.3          # accWindowNrgFac (block_switch.cpp:133)
 _INV_ATTACK_RATIO = 0.1                # block_switch.cpp:137
 _MIN_ATTACK_NRG_120 = 1.0e6            # sum f^2 (int16 units) per 120-sample
@@ -46,10 +49,10 @@ _SEQ_LUT = np.array([
 
 
 def hp_fir_kernel(dtype=np.float32):
-    """FIR expansion of f[n] = c1*(u[n]-u[n-1]) - c0*f[n-1]:
-    f[n] = sum_j (-c0)^j * c1 * (u[n-j] - u[n-j-1]).
+    """FIR expansion of f[n] = c1*(u[n]-u[n-1]) + p*f[n-1] (p = +0.5095):
+    f[n] = sum_j p^j * c1 * (u[n-j] - u[n-j-1]).
     Returns taps h[k] applied to u (length _HP_TAPS+2, causal)."""
-    g = _HP_C1 * (-_HP_C0) ** np.arange(_HP_TAPS + 1)   # on the diffs
+    g = _HP_C1 * _HP_POLE ** np.arange(_HP_TAPS + 1)    # on the diffs
     h = np.zeros(_HP_TAPS + 2)
     h[:_HP_TAPS + 1] += g
     h[1:_HP_TAPS + 2] -= g

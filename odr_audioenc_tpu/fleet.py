@@ -13,9 +13,18 @@ Config:
     {"codec": "mp2", "input": "a.wav", "format": "wav", "rate": 48000,
      "bitrate": 128, "mode": "j", "output": "a.mp2", "stats": "/tmp/a.stats"},
     {"codec": "dabplus", "input": "b.wav", "rate": 48000, "bitrate": 96,
-     "channels": 2, "output": "b.dabp"}
+     "channels": 2, "output": "b.dabp",
+     "edi": ["udp://127.0.0.1:12002"], "edi_fec": 2,
+     "zmq": "tcp://*:9001", "secret_key": null,
+     "pad": "/tmp/b.pad", "pad_len": 58}
   ]
 }
+
+Per-station sinks mirror the single-encoder CLI (odr-audioenc.cpp
+send path, src/odr-audioenc.cpp:1282-1322): "output" file, "zmq" PUB
+(optionally CURVE-encrypted with "secret_key"), "edi" destination list
+("edi_fec" enables PFT), and a "pad"/"pad_len" ODR-PadEnc socket polled
+once per MP2 frame / DAB+ AU.
 """
 import sys
 import time
@@ -27,8 +36,9 @@ import numpy as np
 class _Station:
     def __init__(self, conf):
         from .io.inputs import FileInput
-        from .outputs import FileOutput
-        from .host.sidecars import StatsPublisher
+        from .outputs import FileOutput, ZmqOutput, EdiOutput
+        from .outputs.edi_out import EdiConfig, EdiDestination
+        from .host.sidecars import StatsPublisher, PadInterface
         self.conf = conf
         self.codec = conf.get("codec", "dabplus")
         self.rate = conf.get("rate", 48000)
@@ -46,10 +56,84 @@ class _Station:
                                conf.get("fifo_silence", False))
         self.input.prepare()
         self.output = FileOutput(conf["output"]) if "output" in conf else None
+        # per-station ZMQ PUB (Outputs.cpp ZMQ path; one encoder = one PUB)
+        self.zmq = None
+        if conf.get("zmq"):
+            self.zmq = ZmqOutput(conf["zmq"], conf.get("secret_key"))
+            self.zmq.set_encoder_type(self.codec == "dabplus")
+        # per-station EDI sender (odr-audioenc.cpp:1282-1322 send path)
+        self.edi = None
+        if conf.get("edi"):
+            uris = conf["edi"]
+            if isinstance(uris, str):
+                uris = [uris]
+            dests = []
+            for uri in uris:
+                proto, rest = uri.split("://", 1)
+                host, port = rest.rsplit(":", 1)
+                dests.append(EdiDestination(proto, host, int(port)))
+            fec = int(conf.get("edi_fec", 0))
+            self.edi = EdiOutput(
+                EdiConfig(enable_pft=fec > 0, fec=fec, destinations=dests),
+                tist=bool(conf.get("edi_tist", False)),
+                delay_ms=int(conf.get("edi_delay_ms", 0)),
+                tai_offset=conf.get("edi_tai_offset"))
+        # per-station PAD socket (PadInterface; one request per MP2 frame /
+        # per DAB+ AU, mirroring the CLI loop)
+        self.pad_len = int(conf.get("pad_len", 0)) if conf.get("pad") else 0
+        self.pad = None
+        if self.pad_len:
+            self.pad = PadInterface()
+            self.pad.open(conf["pad"])
         self.stats = StatsPublisher(conf["stats"]) if conf.get("stats") else None
         self.eof = False
         self.mp2_fifo = b""
         self.frames_done = 0
+
+    def request_pads(self, n):
+        """n PAD requests.  DAB+: list of n trimmed X-PAD byte strings
+        (possibly empty).  MP2: list of n (full_buffer, used_len) tuples
+        as Mp2Packer.emit expects."""
+        out = []
+        for _ in range(n):
+            data = self.pad.request(self.pad_len)
+            cl = 0
+            xpad = b""
+            if len(data) == self.pad_len + 1 and data[self.pad_len] >= 2:
+                cl = data[self.pad_len]
+                xpad = data[:self.pad_len]
+                # AAC: skip PAD if only zero F-PAD (TS 102 563 5.4.3)
+                if self.codec == "dabplus" and cl == 2 and \
+                        xpad[-2] == 0 and xpad[-1] == 0:
+                    cl = 0
+            if self.codec == "dabplus":
+                out.append(xpad[self.pad_len - cl:] if cl else b"")
+            else:
+                out.append((xpad, cl) if cl else (b"", 0))
+        return out
+
+    def send(self, buf, peak):
+        """Route one coded frame to every configured sink."""
+        if self.output:
+            self.output.write_frame(buf)
+        if self.zmq:
+            self.zmq.update_audio_levels(peak, peak)
+            self.zmq.write_frame(buf)
+        if self.edi:
+            self.edi.update_audio_levels(peak, peak)
+            if self.codec == "dabplus":
+                bs = len(buf) // 5   # 5 x 24 ms EDI frames per superframe
+                for i in range(5):
+                    self.edi.write_frame(buf[i * bs:(i + 1) * bs])
+            else:
+                self.edi.write_frame(buf)
+
+    def close(self):
+        for o in (self.output, self.zmq, self.edi):
+            if o is not None:
+                o.close()
+        if self.pad:
+            self.pad.close()
 
     def read_frame(self, nsamples):
         nbytes = nsamples * self.channels * 2
@@ -78,19 +162,21 @@ def run_fleet(conf, verbose=0):
         if st.codec == "mp2":
             groups[("mp2", st.rate)].append(st)
         else:
-            groups[("dabplus", st.rate, st.bitrate, st.channels)].append(st)
+            groups[("dabplus", st.rate, st.bitrate, st.channels,
+                    st.pad_len)].append(st)
 
     runners = []
     for key, members in groups.items():
         if key[0] == "mp2":
             cfg = make_config([{"rate": m.rate, "bitrate": m.bitrate,
-                                "mode": m.mode} for m in members])
+                                "mode": m.mode, "pad_len": m.pad_len}
+                               for m in members])
             enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32)
             packer = Mp2Packer(cfg)
             runners.append(("mp2", members, enc, packer, enc.init_state()))
         else:
-            _, rate, bitrate, ch = key
-            dcfg = DabPlusConfig(rate, bitrate // 8, ch)
+            _, rate, bitrate, ch, pad_len = key
+            dcfg = DabPlusConfig(rate, bitrate // 8, ch, pad_len=pad_len)
             enc = DabPlusEncoder(dcfg, n_streams=len(members))
             runners.append(("dabplus", members, enc, None, enc.init_state()))
 
@@ -106,28 +192,26 @@ def run_fleet(conf, verbose=0):
         kind, members, enc, packer, _ = runners[ri]
         if pending[ri] is None:
             return
-        out_dev, pcm = pending[ri]
+        out_dev, pcm, xp = pending[ri]
         pending[ri] = None
         if kind == "mp2":
             out_np = {k: np.asarray(v) for k, v in out_dev.items()}
-            chunks = packer.emit(out_np)
+            chunks = packer.emit(out_np, xp)
             for i, m in enumerate(members):
                 m.mp2_fifo += chunks[i]
                 fl = 3 * m.bitrate
-                while len(m.mp2_fifo) >= fl:
-                    if m.output:
-                        m.output.write_frame(m.mp2_fifo[:fl])
-                    m.mp2_fifo = m.mp2_fifo[fl:]
                 peak = int(np.abs(pcm[i].astype(np.int32)).max())
+                while len(m.mp2_fifo) >= fl:
+                    m.send(m.mp2_fifo[:fl], peak)
+                    m.mp2_fifo = m.mp2_fifo[fl:]
                 m.publish(peak, peak)
                 m.frames_done += 1
         else:
             frames = enc.pack_superframes(out_dev) \
                 if hasattr(enc, "pack_superframes") else out_dev
             for i, m in enumerate(members):
-                if m.output:
-                    m.output.write_frame(frames[i])
                 peak = int(np.abs(pcm[i].astype(np.int32)).max())
+                m.send(frames[i], peak)
                 m.publish(peak, peak)
                 m.frames_done += 1
 
@@ -141,22 +225,36 @@ def run_fleet(conf, verbose=0):
                 continue
             if kind == "mp2":
                 pcm = np.zeros((len(members), 2, 1152), np.int16)
+                xp = [None] * len(members)
+                xl = np.zeros((len(members),), np.int32)
                 for i, m in enumerate(members):
                     p = m.read_frame(1152)
                     pcm[i, :m.channels] = p
                     if m.channels == 1:
                         pcm[i, 1] = p[0]
-                state, out = enc.encode_step(state, pcm)  # async dispatch
+                    if m.pad:
+                        xp[i] = m.request_pads(1)[0]
+                        xl[i] = xp[i][1]
+                have_pads = any(x is not None for x in xp)
+                state, out = enc.encode_step(
+                    state, pcm, xl if have_pads else None)  # async dispatch
                 audio_seconds += len(members) * 1152 / members[0].rate
+                step_xp = xp if have_pads else None
             else:
                 nau = enc.cfg.num_aus
                 pcm = np.zeros((len(members), enc.cfg.channels, nau * 960), np.int16)
+                pads = []
                 for i, m in enumerate(members):
                     pcm[i] = m.read_frame(nau * 960)[:enc.cfg.channels]
-                state, out = enc.encode_superframes(state, pcm, pack=False)
+                    pads.append(m.request_pads(nau) if m.pad else [b""] * nau)
+                have_pads = any(m.pad for m in members)
+                state, out = enc.encode_superframes(
+                    state, pcm, pack=False,
+                    pads=pads if have_pads else None)
                 audio_seconds += len(members) * nau * 960 / members[0].rate
+                step_xp = None
             prev = pending[ri]
-            pending[ri] = (out, pcm)
+            pending[ri] = (out, pcm, step_xp)
             runners[ri] = (kind, members, enc, packer, state)
             if prev is not None:
                 pending[ri], keep = prev, pending[ri]
@@ -169,8 +267,7 @@ def run_fleet(conf, verbose=0):
 
     dt = time.perf_counter() - t0
     for st in stations:
-        if st.output:
-            st.output.close()
+        st.close()
     if verbose or True:
         print(f"fleet: {len(stations)} stations, {audio_seconds:.1f} audio-s "
               f"in {dt:.2f} s wall = {audio_seconds / dt:.1f} streams*realtime",

@@ -18,10 +18,12 @@ def test_hp_fir_matches_iir():
     rng = np.random.default_rng(7)
     x = rng.standard_normal(2000) * 10000.0
     # sequential reference
+    # fdk recurrence: t1 = c1*(u-s0)/2, t2 = (-0.5095)*s1/2,
+    # s1 = (t1-t2)<<1  =>  s1 = c1*(u-s0) + 0.5095*s1
     s0 = s1 = 0.0
     ref = np.zeros_like(x)
     for n in range(len(x)):
-        s1 = BS._HP_C1 * (x[n] - s0) - BS._HP_C0 * s1
+        s1 = BS._HP_C1 * (x[n] - s0) + BS._HP_POLE * s1
         s0 = x[n]
         ref[n] = s1
     enF, en, _ = BS.window_energies(

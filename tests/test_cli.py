@@ -99,3 +99,198 @@ def test_fleet_mixed(tmp_path):
     assert "audiolevels" in msg
     # mp2 stream 0 must equal its single-stream encoding
     # (mixed-batch correctness is covered in test_mp2_batch)
+
+
+def _zmtp_sub_listener(got, ready):
+    """Minimal ZMTP 3.0 NULL-mechanism SUB peer (the ODR-DabMux role):
+    bind, accept one PUB connection, collect message payloads."""
+    import struct
+    import threading
+    from odr_audioenc_tpu.outputs.zmq_out import _greeting, _command, _metadata
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def recv_exact(s, n):
+        buf = b""
+        while len(buf) < n:
+            c = s.recv(n - len(buf))
+            if not c:
+                raise ConnectionError("peer closed")
+            buf += c
+        return buf
+
+    def read_frame(s):
+        flags = recv_exact(s, 1)[0]
+        if flags & 2:
+            size = struct.unpack(">Q", recv_exact(s, 8))[0]
+        else:
+            size = recv_exact(s, 1)[0]
+        return flags, recv_exact(s, size)
+
+    def run():
+        s, _ = lsock.accept()
+        s.settimeout(10.0)
+        s.sendall(_greeting("NULL", False))
+        recv_exact(s, 64)
+        s.sendall(_command("READY", _metadata({"Socket-Type": "SUB"})))
+        read_frame(s)  # peer READY
+        try:
+            while True:
+                flags, payload = read_frame(s)
+                if not flags & 0x04:          # message, not command
+                    got.append(payload)
+        except (socket.timeout, ConnectionError, OSError):
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    ready.append(port)
+    return t
+
+
+def _pad_server(ident, payload_fn):
+    """ODR-PadEnc stand-in: answer MESSAGE_REQUEST datagrams on
+    /tmp/{ident}.padenc with MESSAGE_PAD_DATA."""
+    import threading
+    import os
+    path = f"/tmp/{ident}.padenc"
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    srv.bind(path)
+    srv.settimeout(30.0)
+
+    def run():
+        while True:
+            try:
+                buf, addr = srv.recvfrom(64)
+            except (socket.timeout, OSError):
+                return
+            if buf and buf[0] == 1:            # MESSAGE_REQUEST
+                padlen = buf[1]
+                try:
+                    srv.sendto(bytes([2]) + payload_fn(padlen),
+                               f"/tmp/{ident}.audioenc")
+                except OSError:
+                    pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return srv, t
+
+
+def test_fleet_edi_zmq_pad_64(tmp_path):
+    """North-star operating point in miniature: 64 mixed stations batched on
+    two jitted steps, each with real sinks - per-station EDI destinations
+    (AF and PFT validated by a loopback receiver), ZMQ PUB subscribers, and
+    an ODR-PadEnc socket (reference send path odr-audioenc.cpp:1282-1322)."""
+    from odr_audioenc_tpu.outputs.edi_out import crc16_genibus
+
+    n_mp2, n_dab = 32, 32
+    streams = []
+    edi_rx = {}       # station index -> bound UDP socket
+    zmq_got = {}      # station index -> list of payloads
+    mp2_sig = music_like(12, seed=42)
+    dab_sig = music_like(15, seed=43)
+    wav_mp2 = tmp_path / "mp2.wav"
+    wav_dab = tmp_path / "dab.wav"
+    write_wav(wav_mp2, mp2_sig)
+    write_wav(wav_dab, dab_sig)
+
+    for i in range(n_mp2 + n_dab):
+        is_dab = i >= n_mp2
+        spec = {"codec": "dabplus", "bitrate": 96, "channels": 2,
+                "input": str(wav_dab)} if is_dab else \
+               {"codec": "mp2", "bitrate": 128, "mode": "j",
+                "input": str(wav_mp2)}
+        spec["rate"] = 48000
+        spec["output"] = str(tmp_path / f"out{i}.bin")
+        # every 4th station gets an EDI destination; every 8th uses PFT
+        if i % 4 == 0:
+            rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            rx.bind(("127.0.0.1", 0))
+            rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 20)
+            edi_rx[i] = rx
+            spec["edi"] = [f"udp://127.0.0.1:{rx.getsockname()[1]}"]
+            spec["edi_tai_offset"] = 37
+            if i % 8 == 0:
+                spec["edi_fec"] = 2
+        streams.append(spec)
+
+    # one ZMQ subscriber per codec
+    for i in (1, n_mp2 + 1):
+        got, ready = [], []
+        _zmtp_sub_listener(got, ready)
+        streams[i]["zmq"] = f"tcp://127.0.0.1:{ready[0]}"
+        zmq_got[i] = got
+
+    # one PAD-fed station per codec
+    pad_payload = bytes(range(2, 2 + 14)) + bytes([0, 0])
+    pads = []
+    for i, ident in ((2, "fleetpad_mp2"), (n_mp2 + 2, "fleetpad_dab")):
+        pads.append(_pad_server(
+            ident, lambda pl: pad_payload[:pl] + bytes([14])))
+        streams[i]["pad"] = ident
+        streams[i]["pad_len"] = 16
+
+    conf_path = tmp_path / "fleet.json"
+    conf_path.write_text(json.dumps({"streams": streams}))
+    rc = cli_main(["--streams", str(conf_path), "-o", "ignored"])
+    assert rc == 0
+
+    sflen = 120 * 12
+    n_sf = dab_sig.shape[1] // 5760
+    for i in range(n_mp2 + n_dab):
+        sz = (tmp_path / f"out{i}.bin").stat().st_size
+        assert sz > 0
+        if i >= n_mp2:
+            assert sz == n_sf * sflen
+
+    # EDI loopback: all packets are valid AF (or PF with a correct header
+    # CRC); DAB+ stations emit exactly 5 EDI frames per superframe
+    for i, rx in edi_rx.items():
+        rx.settimeout(1.0)
+        pkts = []
+        try:
+            while True:
+                pkts.append(rx.recv(4096))
+        except socket.timeout:
+            pass
+        assert pkts, f"station {i}: no EDI packets"
+        n_af = 0
+        for p in pkts:
+            if p[:2] == b"PF":
+                hdr_len = 12 + 2
+                assert crc16_genibus(p[:hdr_len]) == \
+                    int.from_bytes(p[hdr_len:hdr_len + 2], "big")
+            else:
+                assert p[:2] == b"AF"
+                taglen = int.from_bytes(p[2:6], "big")
+                assert crc16_genibus(p[:10 + taglen]) == \
+                    int.from_bytes(p[10 + taglen:10 + taglen + 2], "big")
+                n_af += 1
+        if i >= n_mp2 and i % 8 != 0:       # plain-AF DAB+ stations
+            assert n_af == n_sf * 5
+        rx.close()
+
+    # ZMQ subscribers got framed payloads with the ODR header
+    import struct as _struct
+    import time as _time
+    for _ in range(50):
+        if all(len(g) > 0 for g in zmq_got.values()):
+            break
+        _time.sleep(0.1)
+    for i, got in zmq_got.items():
+        assert got, f"station {i}: no ZMQ messages"
+        ver, enc_t, size, L, R = _struct.unpack("<HHIhh", got[0][:12])
+        assert ver == 1
+        assert enc_t == (1 if i >= n_mp2 else 2)
+        assert size == len(got[0]) - 12
+
+    for srv, _t in pads:
+        srv.close()
