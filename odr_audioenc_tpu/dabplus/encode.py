@@ -437,32 +437,70 @@ SECT_BITS_SHORT = 4 + 3  # sect_len is 3 bits for EIGHT_SHORT
 PNS_HCB = 13             # NOISE_HCB
 
 
-def pns_detect(spec, en, thr, bctx, eligible, nlines, dtype):
-    """Perceptual noise substitution detection (noisedet.cpp/pnsparam.cpp
-    roles): mark eligible bands whose spectrum is noise-like and return the
-    noise energy scale factors.
+def pns_detect(spec, en, thr, bctx, eligible, nlines, dtype, pns_tabs=None):
+    """Perceptual noise substitution detection re-designed from the fdk LC
+    chain (noisedet.cpp:150-240 FDKaacEnc_noiseDetect + aacenc_pns.cpp:
+    218-285 flag cleanup):
 
-    Noise-likeness combines two statistics over the band's MDCT powers
-    (chi-square(1) distributed for Gaussian noise):
-      - spectral flatness (geometric/arithmetic power mean): ~0.3 for
-        noise, near 0 when a tone dominates;
-      - peak-to-mean power ratio: bounded for noise, large for tones.
-    Only bands that are audible (energy above the masking threshold) are
-    substituted - sub-threshold bands go to ZERO for free instead.
+      - power distribution: the band is split into four quarters; it is
+        noise-like when maxQuarter * refPower^(width/32) < minQuarter
+        (the PSD-slope-corrected max/min flatness test, powDistPSDcurve
+        from pnsparam.cpp:560-571);
+      - tonality: fdk thresholds the chaos-measure tonality against
+        refTonality; here the spectral-flatness measure over the band's
+        chi-square(1)-distributed powers stands in for it (~0.28 for
+        Gaussian noise, ->0 when a tone dominates);
+      - audibility: en > 1.5 * thr (aacenc_pns.cpp:233-237) - masked
+        bands go to ZERO for free instead;
+      - cleanup: fill single-band gaps between PNS bands, then drop
+        isolated PNS bands (aacenc_pns.cpp:250-285).
+
     noise_nrg semantics match the decoder's CPns_Apply: the generated
     unit-energy noise vector is scaled by 2^(sf/4) per coefficient, so
     sf = 2*log2(band energy) reproduces the band's energy."""
     p = spec * spec
-    logp = jnp.log(jnp.maximum(p, 1e-12))
-    nl = jnp.maximum(nlines, 1.0)
-    mean_log = bctx.reduce_f(logp) / nl
-    mean_p = jnp.maximum(en, 1e-12) / nl
-    sfm = jnp.exp(mean_log - jnp.log(mean_p))
-    # per-band max via a masked line->band compare (big tensor avoided: the
-    # line-domain max against the band mean broadcast back)
-    peak_ratio_line = p / jnp.maximum(bctx.to_lines(mean_p), 1e-12)
-    peak = bctx.reduce_f(jnp.where(peak_ratio_line > 10.0, 1.0, 0.0))
-    mask = eligible & (sfm > 0.22) & (peak < 0.5) & (en > 4.0 * thr)
+    if pns_tabs is not None:
+        qmask = pns_tabs["qmask"]                      # [4, 960]
+        curve = pns_tabs["curve"]                      # [NB]
+        width_ok = pns_tabs["width_ok"]                # [NB]
+        qe = jnp.stack([bctx.reduce_f(p * qmask[i]) for i in range(4)], -1)
+        noise_pd = qe.max(-1) * curve < qe.min(-1)     # [S, ch, NB]
+        eligible = eligible & width_ok
+        ton_ref = pns_tabs["ton_thresh"]
+    else:
+        noise_pd = jnp.ones(en.shape, bool)
+        ton_ref = jnp.asarray(10.0 ** -0.10, dtype)
+    # chaos measure (chaosmeasure.cpp PeakFast): predict each line's
+    # magnitude from its +-2 same-parity neighbours; chaos = (pred/|x|)^2
+    # clipped to 1 (1 = unpredictable = noise), then the 0.75/0.25 IIR
+    # smoothing along frequency expanded as a short FIR (0.25^12 ~ 6e-8)
+    a = jnp.abs(spec)
+    pad = [(0, 0)] * (a.ndim - 1)
+    left2 = jnp.pad(a[..., :-2], pad + [(2, 0)], mode="edge")
+    right2 = jnp.pad(a[..., 2:], pad + [(0, 2)], mode="edge")
+    pred = 0.5 * (left2 + right2)
+    chaos = jnp.where(pred < a, (pred / jnp.maximum(a, 1e-20)) ** 2, 1.0)
+    taps = (0.75 * 0.25 ** np.arange(12)).astype(np.float32)
+    k = jnp.asarray(taps, dtype)
+    ch_s = sum(k[i] * jnp.pad(chaos[..., :chaos.shape[-1] - i],
+                              pad + [(i, 0)], mode="edge")
+               for i in range(12))
+    # sfb tonality (tonality.cpp CalcSfbTonality): tonality =
+    # min(1, -log10(c')) with c' = 2 * energy-weighted chaos (the +3/64
+    # ld-domain constant nets a factor 2 after the fMultDiv2 scalings);
+    # noise-like iff tonality < refTonality i.e. c' > 10^-refTonality
+    c_ratio = 2.0 * bctx.reduce_f(p * ch_s) / jnp.maximum(en, 1e-20)
+    noise_ton = c_ratio > ton_ref
+    fuzzy = noise_pd & noise_ton
+    mask = eligible & fuzzy & (en > 1.5 * thr)
+    # gap fill: a non-PNS band between two PNS bands joins if noise-like
+    left = jnp.pad(mask[..., :-1], [(0, 0)] * (mask.ndim - 1) + [(1, 0)])
+    right = jnp.pad(mask[..., 1:], [(0, 0)] * (mask.ndim - 1) + [(0, 1)])
+    mask = mask | (eligible & fuzzy & left & right)
+    # drop isolated PNS bands
+    left = jnp.pad(mask[..., :-1], [(0, 0)] * (mask.ndim - 1) + [(1, 0)])
+    right = jnp.pad(mask[..., 1:], [(0, 0)] * (mask.ndim - 1) + [(0, 1)])
+    mask = mask & (left | right)
     nrg = jnp.clip(jnp.round(2.0 * jnp.log2(jnp.maximum(en, 1e-10))),
                    -100, 155).astype(jnp.int32)
     return mask, nrg
@@ -741,9 +779,39 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             thr, pre_state[0], pre_state[1], seq, short_ctx, is_short, dtype)
         pre_out = dict(thr_nm1=thr_nm1, pre_flag=pre_flag)
     en_lr = en  # avoid-hole spread energies stay L/R-domain
+
+    # PNS detection runs on the PRE-MS L/R spectra (fdk order: PnsDetect at
+    # psy_main.cpp:1144 precedes MsStereoProcessing at :1190; the channel
+    # pair is reconciled afterwards in PostProcessPnsChannelPair)
+    pns_start = pt.get("pns_start", None)
+    bandsel_pre = bandsel[:, None] if bandsel.ndim == 2 else bandsel
+    if pns_start is not None:
+        eligible = bandsel_pre & (jnp.arange(NB) >= pns_start)
+        if is_short is not None:
+            eligible = eligible & ~is_short[:, None, None] \
+                if eligible.ndim == 3 else eligible & ~is_short[:, None]
+        pns_mask, pns_nrg = pns_detect(spec, en, thr, bctx, eligible,
+                                       nlines, dtype,
+                                       pns_tabs=pt.get("pns_tabs"))
+    else:
+        pns_mask = jnp.zeros(en.shape, bool)
+        pns_nrg = jnp.zeros(en.shape, jnp.int32)
+    if spec.shape[1] == 2:
+        # normalized noise correlation (PreProcessPnsChannelPair:441-480)
+        ccf = bctx.reduce_f(spec[:, 0] * spec[:, 1]) / jnp.sqrt(
+            jnp.maximum(en[:, 0] * en[:, 1], 1e-20))
+
     ms_used = jnp.zeros(spec.shape[:1] + (NB,), bool)
     if spec.shape[1] == 2:
         spec, en, thr, ms_used = ms_stereo(spec, en, thr, bctx, bandsel, dtype)
+        # PNS/MS reconciliation (PostProcessPnsChannelPair:498-541):
+        # PNS on an MS band needs PNS in BOTH channels, the ms flag then
+        # signals noise correlation (> 0.6 in amplitude, 0.36 threshold
+        # on the squared-domain constant)
+        pair = pns_mask[:, 0] & pns_mask[:, 1]
+        corr = ccf > 0.36          # noiseCorrelationThresh (aacenc_pns.cpp:115)
+        pns_mask = jnp.where((ms_used & ~pair)[:, None], False, pns_mask)
+        ms_used = jnp.where(pair, corr, ms_used)
     # CPE: +1 common_window, +2 ms_mask_present, + per-band ms_used bits
     elem_fixed = jnp.where(n_ch == 2,
                            3 + 4 + 1 + 2 + ics_fixed + nbands_tx,
@@ -794,21 +862,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     sect_hdr_c = sect_hdr[..., None] if short_ctx is not None else sect_hdr
     is_short_c = is_short[:, None] if is_short is not None else None
 
-    # perceptual noise substitution (pns_detect): long windows only, not on
-    # MS bands (the decoder reads ms_used as the noise-correlation flag for
-    # PNS band pairs), eligible above the bitrate-dependent start band
-    pns_start = pt.get("pns_start", None)
-    if pns_start is not None:
-        eligible = bandsel_c & (jnp.arange(NB) >= pns_start) \
-            & ~ms_used[:, None]
-        if is_short is not None:
-            eligible = eligible & ~is_short[:, None, None]
-        pns_mask, pns_nrg = pns_detect(spec, en, thr, bctx, eligible, nlines, dtype)
-        pns_line = bctx.to_lines(pns_mask)
-    else:
-        pns_mask = jnp.zeros(en.shape, bool)
-        pns_nrg = jnp.zeros(en.shape, jnp.int32)
-        pns_line = jnp.zeros(spec.shape, bool)
+    # PNS flags were decided pre-MS (see above); expand to the line domain
+    pns_line = bctx.to_lines(pns_mask)
 
     # ---- scalefactor-estimate correction (FDKaacEnc_improveScf,
     # sf_estim.cpp): the 3GPP form-factor formula is biased for tonal

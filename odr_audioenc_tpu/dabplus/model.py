@@ -120,21 +120,38 @@ class DabPlusEncoder:
             bw_hz = min(float(cfg.bandwidth), rate * 0.5)
         self.max_sfb = int(np.searchsorted(self.sfb_off * rate / (2 * AT.N), bw_hz)) - 1
         self.max_sfb = max(4, min(self.max_sfb, self.nbands))
-        # PNS start band by per-channel bitrate (pnsparam.cpp ladder spirit);
-        # high bitrates have the bits to code noise faithfully - disable
-        if br_per_ch <= 32000:
-            f_pns = 2200.0
-        elif br_per_ch <= 48000:
-            f_pns = 4100.0
-        elif br_per_ch <= 64000:
-            f_pns = 6000.0
-        elif br_per_ch <= 80000:
-            f_pns = 9000.0
-        else:
-            f_pns = None
-        if f_pns is not None:
+        # PNS level by per-channel bitrate: the fdk LC ladder
+        # (pnsparam.cpp:354-404 levelTable_lowComplexity -> tuning rows
+        # pnsInfoTab_lowComplexity: startFreq 4100 Hz, refTonality 0.10,
+        # refPower 0.05 for levels 2-3, 0.20 for the 48 kbps LOWSUBST row;
+        # PNS is OFF above 48 kbps/channel and below 28)
+        ref_power = None
+        if 28000 <= br_per_ch < 48000:
+            ref_power = 0.05
+        elif br_per_ch == 48000:
+            ref_power = 0.20
+        if ref_power is not None:
             self.pt["pns_start"] = int(
-                np.searchsorted(self.sfb_off * rate / (2 * AT.N), f_pns))
+                np.searchsorted(self.sfb_off * rate / (2 * AT.N), 4100.0))
+            widths = np.diff(self.sfb_off)
+            qmask = np.zeros((4, AT.N), np.float32)
+            for b in range(len(widths)):
+                lo, w = self.sfb_off[b], widths[b]
+                k = w // 4
+                for qq in range(4):
+                    qmask[qq, lo + qq * k: lo + (qq + 1) * k] = 1.0
+            curve = np.full(E.NB, 1e30, np.float32)
+            curve[:len(widths)] = ref_power ** (widths / 32.0)
+            width_ok = np.zeros(E.NB, bool)
+            width_ok[:len(widths)] = widths >= 16   # minSfbWidth (long)
+            self.pt["pns_tabs"] = {
+                "qmask": jnp.asarray(qmask, dtype),
+                "curve": jnp.asarray(curve, dtype),
+                "width_ok": jnp.asarray(width_ok),
+                # refTonality 0.10 (pnsInfoTab_lowComplexity rows 2-4):
+                # noise-like iff energy-weighted chaos ratio > 10^-0.10
+                "ton_thresh": jnp.asarray(10.0 ** -0.10, dtype),
+            }
         # short-block context (block switching): grouped {4,4} band ladder
         self.max_sfb_short = int(np.searchsorted(
             self.sfb_off_short * rate / (2 * AT.NS), bw_hz)) - 1
@@ -329,10 +346,19 @@ class DabPlusEncoder:
                             pre_state=(thr_nm1, pre_flag), seq=seq)
             leftover = jnp.maximum(budget + leftover - o["bits"], 0).astype(jnp.int32)
             o["wseq"] = seq
+            # minimal dtypes: device->host transfer is on the critical path
+            # (q <= 8191, gains/noise-nrg in [-100, 155], books <= 15,
+            # TNS indices 4-bit); the host packer widens as needed
             return (leftover, o["thr_nm1"], o["pre_flag"]), \
-                {k: o[k] for k in
-                 ["q", "gains", "books", "bits", "ms_used",
-                  "tns_en", "tns_order", "tns_idx", "wseq"]}
+                {"q": o["q"].astype(jnp.int16),
+                 "gains": o["gains"].astype(jnp.int16),
+                 "books": o["books"].astype(jnp.uint8),
+                 "bits": o["bits"],
+                 "ms_used": o["ms_used"],
+                 "tns_en": o["tns_en"],
+                 "tns_order": o["tns_order"].astype(jnp.int8),
+                 "tns_idx": o["tns_idx"].astype(jnp.int8),
+                 "wseq": o["wseq"].astype(jnp.int8)}
 
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
         (bitres, thr_nm1, pre_flag), out = jax.lax.scan(
