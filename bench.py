@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Benchmark: concurrent streams x realtime factor per chip on the BASELINE
-headline configs - MP2@128k (stereo 48kHz) and HE-AAC@64k (mono 48kHz).
+configs, FULL PATH - jitted device encode step + host transfer + native
+bit-packing + Reed-Solomon, pipelined one step deep exactly like the fleet
+runtime (fleet.py), so the number reflects bytes-on-the-wire throughput.
 
-Measures the jitted device encode step for each codec at BENCH_STREAMS batch
-size and reports the mixed-fleet throughput (harmonic mean = equal numbers of
-both stream types).  Baseline reference point: the north-star target of 1024
-streams at 10x realtime per chip (BASELINE.json) = 10240.
+Configs (BASELINE.md):
+  1. MP2 @128k stereo 48 kHz (DAB frames)
+  2. AAC-LC @96k stereo (DAB+ superframes incl. RS)
+  3. HE-AAC (SBR) @48k mono
+  4. HE-AAC v2 (PS) @32k stereo
+Headline = harmonic mean over the four configs (equal stream shares) vs the
+north-star 1024 streams x 10x realtime (BASELINE.json).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,15 +22,18 @@ import time
 import numpy as np
 
 
-def _throughput(step, state, args, audio_s, streams, iters, donate=True):
-    import jax
-    state, out = step(state, *args)
-    jax.block_until_ready(out)
+def _full_path_throughput(dispatch, drain, audio_s, streams, iters):
+    """One-step-deep pipeline: dispatch(k+1) overlaps drain(k)."""
+    pend = dispatch()                 # warm (compile hit or cache)
+    drain(pend)
+    pend = dispatch()
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, out = step(state, *args)
-    jax.block_until_ready(out)
+        nxt = dispatch()              # async device dispatch
+        drain(pend)                   # host pack + RS of the previous step
+        pend = nxt
     dt = (time.perf_counter() - t0) / iters
+    drain(pend)
     return streams * audio_s / dt
 
 
@@ -33,8 +41,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache: the axon remote compile is slow (minutes);
-    # repeated bench runs should reuse executables
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".scratch", "jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -46,37 +52,62 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
+    from odr_audioenc_tpu.host.mp2pack import Mp2Packer
     from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
 
-    # default fleet size 2048: the encode steps are partly dispatch-bound,
-    # so larger batches amortize fixed overhead while staying comfortably
-    # real-time (MP2 step ~14 ms < 24 ms frame; DAB+ ~51 ms < 120 ms)
     S = int(os.environ.get("BENCH_STREAMS", "2048"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
+    rates = {}
 
-    # --- MP2 @ 128k stereo ---
+    # --- config 1: MP2 @128k stereo, full path (pack runs on host) ---
     cfg = make_config([{"rate": 48000, "bitrate": 128, "mode": "j"}] * S)
     enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32)
+    packer = Mp2Packer(cfg)
     pcm = jnp.asarray(rng.integers(-16000, 16000, (S, 2, 1152)), jnp.int16)
     xpad = jnp.zeros((S,), jnp.int32)
     step = jax.jit(enc._encode_step, donate_argnums=(0,))
-    t_mp2 = _throughput(step, enc.init_state(), (pcm, xpad), 1152 / 48000.0, S, iters)
+    st = [enc.init_state()]
 
-    # --- HE-AAC @ 64k mono (SBR) ---
-    dcfg = DabPlusConfig(48000, 8, 1, aot="sbr")
-    denc = DabPlusEncoder(dcfg, n_streams=S)
-    dpcm = jnp.asarray(rng.integers(-16000, 16000, (S, 1, 5760)), jnp.int16)
-    dstep = jax.jit(denc._superframe_step, donate_argnums=(0,))
-    t_aac = _throughput(dstep, denc.init_state(), (dpcm,), 5760 / 48000.0, S, iters)
+    def mp2_dispatch():
+        st[0], out = step(st[0], pcm, xpad)
+        return out
 
-    mixed = 2.0 / (1.0 / t_mp2 + 1.0 / t_aac)
+    def mp2_drain(out):
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        packer.emit(out_np)
+
+    rates["mp2_128"] = _full_path_throughput(
+        mp2_dispatch, mp2_drain, 1152 / 48000.0, S, iters)
+
+    # --- configs 2-4: DAB+ full path (native pack + RS on host) ---
+    for name, kw, ch in (("lc_96", dict(aot="lc"), 2),
+                         ("sbr_48", dict(aot="sbr"), 1),
+                         ("ps_32", dict(aot="ps"), 2)):
+        subch = {"lc_96": 12, "sbr_48": 6, "ps_32": 4}[name]
+        dcfg = DabPlusConfig(48000, subch, ch, **kw)
+        denc = DabPlusEncoder(dcfg, n_streams=S)
+        dpcm = jnp.asarray(rng.integers(-16000, 16000, (S, ch, 5760)), jnp.int16)
+        dst = [denc.init_state()]
+
+        def dab_dispatch(denc=denc, dst=dst, dpcm=dpcm):
+            dst[0], out = denc.encode_superframes(dst[0], dpcm, pack=False)
+            return out
+
+        def dab_drain(out, denc=denc):
+            denc.pack_superframes(out, add_rs=True)
+
+        rates[name] = _full_path_throughput(
+            dab_dispatch, dab_drain, 5760 / 48000.0, S, iters)
+
+    mixed = len(rates) / sum(1.0 / r for r in rates.values())
     baseline = 1024 * 10
+    detail = ", ".join(f"{k}={v:.0f}" for k, v in rates.items())
     print(json.dumps({
-        "metric": f"concurrent 48kHz streams x realtime per chip, mixed MP2@128k"
-                  f"+HE-AAC@64k fleet ({platform}, S={S}; mp2={t_mp2:.0f}, "
-                  f"heaac={t_aac:.0f})",
+        "metric": f"concurrent 48kHz streams x realtime per chip, full path "
+                  f"(device step + host pack + RS), 4-config fleet "
+                  f"({platform}, S={S}; {detail})",
         "value": round(mixed, 1),
         "unit": "streams*x",
         "vs_baseline": round(mixed / baseline, 4),

@@ -14,6 +14,7 @@ or blocking pop_wait with a 10 s fault timeout (odr-audioenc.cpp:860-985).
 """
 import argparse
 import json
+import os
 import subprocess
 import sys
 import time
@@ -478,6 +479,15 @@ def _setup_logging(args):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a site hook (e.g. a TPU-tunnel plugin)
+    # re-registered a different default platform after jax read the env
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     args = make_argparser().parse_args(argv)
     _setup_logging(args)
     if args.profile:

@@ -30,6 +30,15 @@ class PadInterface:
             pass
         self.sock.bind(path)
 
+    def close(self):
+        if self.sock is not None:
+            self.sock.close()
+            self.sock = None
+            try:
+                os.unlink(f"/tmp/{self.ident}.audioenc")
+            except OSError:
+                pass
+
     def request(self, padlen):
         """Returns PAD bytes (padlen+1 long: X-PAD..F-PAD + used-length byte)
         or b'' when ODR-PadEnc is absent."""

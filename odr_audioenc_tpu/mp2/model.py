@@ -277,7 +277,9 @@ class Mp2Encoder:
             "sf_index": sf_adj.astype(jnp.uint8),
             "scfsi": scfsi.astype(jnp.uint8),
             "bit_alloc": bit_alloc.astype(jnp.uint8),
-            "sbband": sbband.astype(jnp.uint32),
+            # uint16 halves the device->host traffic (quantized mantissas
+            # are at most 16 bits); the host widens before the native call
+            "sbband": sbband.astype(jnp.uint16),
             "mode": mode_final.astype(jnp.int32),
             "mode_ext": mode_ext.astype(jnp.int32),
             "jsbound": jsbound.astype(jnp.int32),

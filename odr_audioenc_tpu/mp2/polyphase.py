@@ -23,6 +23,33 @@ from .. import tables as T
 # concat(hist[480], frame[1152]) buffer (x reversed-in-time indexing).
 _IDX = (511 + 32 * np.arange(36)[:, None] - np.arange(512)[None, :]).astype(np.int32)
 
+_DENSE_W = None
+
+
+def _dense_weights():
+    """The whole filterbank is linear in the 1632-sample input, so the f32
+    throughput path collapses window+fold+DCT into ONE [1632, 36*32] matrix
+    (7.5 MB, built once): a single dense MXU contraction replaces the
+    [.., 36, 512] sliding-window gather (~300 MB of gather traffic per
+    2048-stream step)."""
+    global _DENSE_W
+    if _DENSE_W is None:
+        acc = np.zeros((1632, 36, 64))
+        C = np.asarray(T.ENWINDOW, np.float64)
+        t_idx = np.arange(36)
+        for i in range(512):
+            acc[511 + 32 * t_idx - i, t_idx, i % 64] += C[i]
+        K = np.zeros((64, 32))
+        ya, yb, ys = (np.asarray(T.YPRIME_A), np.asarray(T.YPRIME_B),
+                      np.asarray(T.YPRIME_S, np.float64))
+        for k in range(32):
+            K[ya[k], k] += 1.0
+            K[yb[k], k] += ys[k]
+        K = K @ np.asarray(T.DCT_FULL, np.float64).T        # [64, 32]
+        _DENSE_W = np.einsum("nti,is->nts", acc, K).reshape(1632, 36 * 32) \
+            .astype(np.float32)
+    return _DENSE_W
+
 
 def polyphase_frame(hist, frame, dtype=jnp.float64, exact_order=None):
     """hist: [..., 480] previous samples (float, already /32768).
@@ -39,6 +66,10 @@ def polyphase_frame(hist, frame, dtype=jnp.float64, exact_order=None):
     if exact_order is None:
         exact_order = jnp.dtype(dtype) == jnp.float64
     x = jnp.concatenate([hist, frame], axis=-1)
+    if not exact_order:
+        W = jnp.asarray(_dense_weights(), dtype)
+        s = (x @ W).reshape(*x.shape[:-1], 36, 32)
+        return s, x[..., 1152:]
     u = x[..., _IDX]  # [..., 36, 512]
     z = u * jnp.asarray(T.ENWINDOW, dtype)
     z8 = z.reshape(*z.shape[:-1], 8, 64)

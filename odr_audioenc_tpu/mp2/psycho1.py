@@ -44,15 +44,37 @@ def _add_db(a, b, dbtab):
     return out
 
 
+_DFT_BASIS = None
+
+
+def _dft_basis(dtype):
+    """[1024, 1024] rDFT basis: columns 0..511 = cos(2pi k n/N), columns
+    512..1023 = -sin(2pi k n/N) for bins k = 0..511."""
+    global _DFT_BASIS
+    if _DFT_BASIS is None:
+        n = np.arange(1024)[:, None]
+        k = np.arange(512)[None, :]
+        ang = 2.0 * np.pi * n * k / 1024.0
+        _DFT_BASIS = np.concatenate([np.cos(ang), -np.sin(ang)],
+                                    axis=1).astype(np.float32)
+    return jnp.asarray(_DFT_BASIS, dtype)
+
+
 def power_spectrum(samples, dtype):
     """samples: [B, 1024] already scaled to +-1.  Returns (power_db [B,512],
     energy [B,512], spike [B,32]).  (psycho_1_hann_fft_pickmax, :215-258)"""
     w = jnp.asarray(T.PSY1_WINDOW, dtype)
     xr = samples * w
-    # FFT in f32 is too lossy for the masking decisions; compute in the compute
-    # dtype via rfft (f64 on CPU; f32 on TPU).
-    spec = jnp.fft.rfft(xr.astype(jnp.float64 if dtype == jnp.float64 else jnp.float32))
-    energy_full = (spec.real**2 + spec.imag**2)  # [B, 513]
+    if dtype == jnp.float64:
+        spec = jnp.fft.rfft(xr.astype(jnp.float64))
+        energy_full = (spec.real**2 + spec.imag**2)  # [B, 513]
+    else:
+        # f32 TPU path: the 1024-point rDFT as one [1024, 1024] matmul
+        # (cos||sin basis for bins 0..511) - the MXU beats the XLA fft
+        # lowering ~3x at B=4096 and fuses with the window product
+        basis = _dft_basis(dtype)
+        ri = xr @ basis                               # [B, 1024]
+        energy_full = ri[:, :512] ** 2 + ri[:, 512:] ** 2
     # reference: energy[i] = (a^2+b^2)/2 with a,b the FHT pair; for a real
     # signal that equals |X_k|^2 exactly for 0<i<512, and X_0^2 at 0.
     energy = energy_full[:, :NBINS].astype(dtype)
