@@ -14,6 +14,15 @@ from . import encode as E
 from . import tables as AT
 from ..host.aacpack import SuperframePacker, write_au
 
+# samples (full rate) the decoder's SBR envelope application LEADS the
+# decoded core content by (QMF analysis/synthesis group delays on the two
+# paths differ; measured with tone-step and gated-noise loopbacks).  The
+# envelope for AU n is therefore measured over core samples
+# [n*au - SBR_SHIFT, (n+1)*au - SBR_SHIFT): exactly the span whose patch
+# content the decoder will scale with it - a loud envelope can then never
+# land on a silent patch (gain-explosion junk at onsets).
+SBR_SHIFT = 2304
+
 
 @dataclass
 class DabPlusConfig:
@@ -89,7 +98,9 @@ class DabPlusEncoder:
         # bandwidth limit by per-channel bitrate (bandwidth.cpp analogue)
         br_per_ch = cfg.bitrate / cfg.channels
         if self.is_sbr:
-            self.sbr_params = SBR.SbrParams(cfg.sample_rate)
+            self.sbr_params = SBR.SbrParams(cfg.sample_rate,
+                                            bitrate=cfg.subch * 8000,
+                                            channels=self.core_channels)
             bw_hz = self.sbr_params.k0 * self.sbr_params.band_hz  # crossover
             # 127-tap Kaiser(12) half-band: ~-119 dB stopband.  The old
             # 63-tap Hamming design aliased at -66 dB, which WAS the
@@ -208,10 +219,12 @@ class DabPlusEncoder:
                                        self.core_channels, sbr=self.is_sbr,
                                        ps=self.is_ps)
         payload = self.packer.payload_bits()
-        # worst case: 2-envelope transient grid per channel
-        self.sbr_bits_est = (310 * self.core_channels) if self.is_sbr else 0
+        # SBR payload bits are computed EXACTLY on device per AU
+        # (sbr.payload_bits) and subtracted from that AU's budget in the
+        # scan - no static worst-case reserve wasted (the reference also
+        # rate-controls the core against the actual SBR payload)
         pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
-        base_au = payload // cfg.num_aus - self.sbr_bits_est - pad_bits
+        base_au = payload // cfg.num_aus - pad_bits
         # Cross-superframe bit reservoir (FDKaacEnc_updateBitres,
         # aacenc.cpp:961-1000).  The DAB+ superframe is a HARD byte budget
         # (tpenc_dab.cpp:403), so bits cannot truly move across superframes
@@ -238,6 +251,10 @@ class DabPlusEncoder:
         if self.is_sbr:
             st["ds_hist"] = jnp.zeros((self.S, self.core_channels,
                            self.ds_taps - 1), self.dtype)
+            st["qmf_hist"] = jnp.zeros((self.S, self.core_channels, 576),
+                                       self.dtype)
+            st["sbr_hist"] = jnp.zeros((self.S, self.core_channels,
+                                        SBR_SHIFT), self.dtype)
         st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
         return st
 
@@ -283,32 +300,31 @@ class DabPlusEncoder:
             m = 0.5 * (x[:, 0:1] + x[:, 1:2])
             e_lr = (x[:, 0:1] ** 2 + x[:, 1:2] ** 2).sum(-1, keepdims=True)
             e_m = (m ** 2).sum(-1, keepdims=True)
-            g = jnp.sqrt(0.5 * e_lr / jnp.maximum(e_m, 1e-3))
-            x = m * jnp.clip(g, 1.0, 2.0)
+            g = jnp.clip(jnp.sqrt(0.5 * e_lr / jnp.maximum(e_m, 1e-3)),
+                         1.0, 2.0)
+            x = m * g
             ch = 1
+        sbr_bits = jnp.zeros((S, nau), jnp.int32)
         if self.is_sbr:
-            # full-rate AUs for envelope measurement
-            aus_full = x.reshape(S, ch, nau, cfg.au_samples).transpose(2, 0, 1, 3)
-            env = SBR.envelope_energies(aus_full, self.sbr_params, self.dtype)
-            sbr_out["sbr_env"] = jnp.moveaxis(
-                SBR.quantize_envelope(env, self.dtype), 0, 1)  # [S, nau, ch?, n_lo]
-            # split-envelope measurement + transient flag: AUs with a strong
-            # level change between halves get a 2-envelope FIXFIX grid
-            halves = aus_full.reshape(nau, S, ch, 2, cfg.au_samples // 2)
-            env_h = SBR.envelope_energies(halves, self.sbr_params, self.dtype)
-            sbr_out["sbr_env2"] = jnp.moveaxis(
-                SBR.quantize_envelope(env_h, self.dtype), 0, 1)  # [S,nau,ch,2,n_lo]
-            he = (halves * halves).sum(-1)                       # [nau,S,ch,2]
-            hi = jnp.maximum(he[..., 0], he[..., 1])
-            lo = jnp.minimum(he[..., 0], he[..., 1])
-            sbr_out["sbr_transient"] = jnp.moveaxis(
-                hi > 6.0 * (lo + 1.0), 0, 1)                     # [S, nau, ch]
-            # tonality side decisions: noise floor, inverse filtering,
-            # missing harmonics (ton_corr/nf_est/invf_est/mh_det roles)
-            ton = SBR.tonality_analysis(aus_full, self.sbr_params, self.dtype)
-            sbr_out["sbr_noise_q"] = jnp.moveaxis(ton["noise_q"], 0, 1)
-            sbr_out["sbr_invf"] = jnp.moveaxis(ton["invf"], 0, 1)
-            sbr_out["sbr_addharm"] = jnp.moveaxis(ton["add_harm"], 0, 1)
+            # analysis stream = coded stream delayed by SBR_SHIFT (see
+            # constant above); sbr_hist carries the delayed tail across
+            # superframes
+            x_sbr = jnp.concatenate([state["sbr_hist"],
+                                     x[..., :-SBR_SHIFT]], -1)
+            state = dict(state, sbr_hist=x[..., -SBR_SHIFT:])
+            # 64-band complex QMF analysis + envelope/noise/invf/add-harm
+            # extraction (sbr.sbr_side_analysis), history carried in state
+            side, qmf_hist = SBR.sbr_side_analysis(
+                x_sbr, state["qmf_hist"], self.sbr_params, nau, self.dtype)
+            sbr_out.update(side)
+            state = dict(state, qmf_hist=qmf_hist)
+            ps_bits = None
+            if self.is_ps:
+                ps_bits = SBR.ps_data_bits(
+                    sbr_out["ps_iid"], sbr_out["ps_iid_fine"],
+                    sbr_out["ps_fine"], sbr_out["ps_icc"])
+            sbr_bits = SBR.payload_bits(side, self.sbr_params, nau,
+                                        ps_bits=ps_bits)
             # 2:1 decimation for the core (half-band FIR, carried history)
             xx = jnp.concatenate([state["ds_hist"], x], axis=-1)
             # correlate: y[m] = sum_k h[k] * xx[2m + k]
@@ -327,7 +343,7 @@ class DabPlusEncoder:
 
         def au_body(carry, xs):
             leftover, thr_nm1, pre_flag = carry
-            prev, cur, seq = xs
+            prev, cur, seq, sb_au = xs
             spec = E.mdct_frame_switched(prev, cur, self.cos_basis,
                                          self.wvecs, self.short_basis,
                                          seq, self.dtype)
@@ -336,15 +352,18 @@ class DabPlusEncoder:
             sub = cur.reshape(cur.shape[0], cur.shape[1], 8, AT.N // 8)
             se = (sub * sub).sum(-1)
             transient = se.max(-1) > 6.0 * (se.mean(-1) + 1.0)
+            # per-AU budget = superframe share minus this AU's exact SBR
+            # payload (the reference encodes SBR first for the same reason)
+            budget_au = budget - sb_au
             o = E.encode_au(spec, self.pt, self.band_m, self.bol,
-                            max_sfb, budget + leftover, nch, self.dtype,
+                            max_sfb, budget_au + leftover, nch, self.dtype,
                             tns_cfg=self.tns_cfg, transient=transient,
                             short_ctx=self.short_ctx, is_short=seq == 2,
                             refine_rounds=E.REFINE_ROUNDS
                             if cfg.afterburner else 0,
                             modify_minsnr=self.modify_minsnr,
                             pre_state=(thr_nm1, pre_flag), seq=seq)
-            leftover = jnp.maximum(budget + leftover - o["bits"], 0).astype(jnp.int32)
+            leftover = jnp.maximum(budget_au + leftover - o["bits"], 0).astype(jnp.int32)
             o["wseq"] = seq
             # minimal dtypes: device->host transfer is on the critical path
             # (q <= 8191, gains/noise-nrg in [-100, 155], books <= 15,
@@ -363,7 +382,7 @@ class DabPlusEncoder:
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
         (bitres, thr_nm1, pre_flag), out = jax.lax.scan(
             au_body, (bitres0, state["thr_nm1"], state["pre_flag"]),
-            (prevs, grans, wseq))
+            (prevs, grans, wseq, sbr_bits.T))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
         out.update(sbr_out)
         return dict(state, prev=grans[-1],
@@ -437,24 +456,31 @@ class DabPlusEncoder:
                     nq = out["sbr_noise_q"][s, a]
                     invf = out["sbr_invf"][s, a]
                     ah = out["sbr_addharm"][s, a]
+                    tg = out["sbr_tgrid"][s, a]
                     stereo = self.core_channels == 2
 
                     def _envs(c):
+                        # transient AUs: 2-envelope grid at 3.0 dB; else one
+                        # envelope at 1.5 dB (decoder amp-res contract)
                         return [env2[c, 0], env2[c, 1]] if tr[c] else [env[c]]
                     SBR.write_sbr_payload(
-                        bw, _envs(0), noise_val=int(nq[0]),
+                        bw, _envs(0), noise_vals=nq[0],
                         params=self.sbr_params,
+                        write_header=(a == 0),
                         ps_iid=(out["ps_iid_fine"][s, a]
                                 if out["ps_fine"][s, a] else
                                 out["ps_iid"][s, a]) if self.is_ps else None,
                         ps_icc=out["ps_icc"][s, a] if self.is_ps else None,
                         ps_fine=bool(out["ps_fine"][s, a]) if self.is_ps else False,
                         envs_r=_envs(1) if stereo else None,
-                        invf=int(invf[0]),
-                        invf_r=int(invf[1]) if stereo else 1,
-                        noise_val_r=int(nq[1]) if stereo else None,
+                        invf=invf[0],
+                        invf_r=invf[1] if stereo else None,
+                        noise_vals_r=nq[1] if stereo else None,
                         add_harm=ah[0],
-                        add_harm_r=ah[1] if stereo else None)
+                        add_harm_r=ah[1] if stereo else None,
+                        grid_idx=int(tg[0]) if tr[0] else None,
+                        grid_idx_r=(int(tg[1]) if tr[1] else None)
+                        if stereo else None)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return frames

@@ -1,16 +1,34 @@
-"""SBR (HE-AAC) encoder: frequency tables, envelope estimation, payload writer.
+"""SBR (HE-AAC) encoder: frequency tables, QMF analysis, envelope/noise/invf
+estimation, payload writer.
 
-TPU-first re-design of libSBRenc: instead of the reference's 64-band complex
-QMF analysis + fixed-point envelope machinery (sbr_encoder.cpp:941-1200), the
-envelope energies are measured with a batched rFFT over each AU (the decoder
-reconstructs HF content in ITS OWN QMF domain from the transmitted envelopes,
-so encoder-side measurement only needs matching band resolution, not the exact
-filterbank).  v1 scope: mono, FIXFIX grid with one envelope per frame,
-linear (bs_freq_scale=0) band tables with bs_stop_freq=14 (k2 = 2*k0), one
-noise band.
+TPU-first re-design of libSBRenc.  The reference runs a fixed-point 64-band
+complex QMF analysis per channel (sbr_encoder.cpp:941-1200, libFDK qmf.cpp)
+and estimates envelopes (env_est.cpp), noise floors (nf_est.cpp), inverse
+filtering (invf_est.cpp) and missing harmonics (mh_det.cpp) from the
+subband matrix.  Here the whole analysis is ONE batched [.., T, 640] x
+[640, 128] MXU matmul (the ISO/IEC 14496-3 4.6.18.4 flowgraph collapsed
+into a dense matrix), and all estimators are elementwise tensor ops over
+the resulting complex subband matrix:
+
+  * envelopes: per-band mean subband energy over the frame grid, hi-res
+    (bs_freq_res=1) like the reference transmits at broadcast bitrates;
+  * tonality quotas: per-subband 2nd-order complex LPC prediction gain
+    across time slots (ton_corr.cpp:133-300 covariance method);
+  * noise floor: quota ratio original-vs-patch per noise band
+    (nf_est.cpp:190-310 qmfBasedNoiseFloorDetection float semantics);
+  * inverse filtering: patch-vs-original tonality ladder
+    (invf_est.cpp detectors);
+  * missing harmonics: tonal original band with noise-like patch source
+    (mh_det.cpp role).
+
+Header parameters (start/stop freq, freq_scale, noise bands, amp_res 3.0)
+mirror what the reference encoder transmits per operating point (observed
+on the wire; sbrenc_rom.cpp sbrTuningTable + sbr_encoder.cpp mapping), and
+the band tables replicate the DECODER's derivation (sbrdec_freq_sca.cpp:
+CalcBands/getStopBand/downSampleLoRes) so both ends agree bit-exactly.
 
 Bitstream per ISO/IEC 14496-3 sbr_extension_data, matching the reference
-writer bit-for-bit in structure (bit_sbr.cpp:277-460,560-700).
+writer in structure (bit_sbr.cpp:277-460,560-700,744-830).
 """
 import numpy as np
 import jax.numpy as jnp
@@ -23,6 +41,8 @@ ENV_CODE_F = _npz["sbr_v_Huff_envelopeLevelC10F"]  # LAV 60 (amp res 1.5)
 ENV_LEN_F = _npz["sbr_v_Huff_envelopeLevelL10F"]
 ENV_CODE_T = _npz["sbr_v_Huff_envelopeLevelC10T"]
 ENV_LEN_T = _npz["sbr_v_Huff_envelopeLevelL10T"]
+ENV3_CODE_F = _npz["sbr_v_Huff_envelopeLevelC11F"]  # LAV 31 (amp res 3.0)
+ENV3_LEN_F = _npz["sbr_v_Huff_envelopeLevelL11F"]
 NOISE_CODE_T = _npz["sbr_v_Huff_NoiseLevelC11T"]   # LAV 31
 NOISE_LEN_T = _npz["sbr_v_Huff_NoiseLevelL11T"]
 NOISE_CODE_F = _npz["sbr_v_Huff_envelopeLevelC11F"]
@@ -30,166 +50,561 @@ NOISE_LEN_F = _npz["sbr_v_Huff_envelopeLevelL11F"]
 START_BAND = {16000: _npz["sbr_start_band_16"], 22050: _npz["sbr_start_band_22"],
               24000: _npz["sbr_start_band_24"], 32000: _npz["sbr_start_band_32"],
               44100: _npz["sbr_start_band_44"], 48000: _npz["sbr_start_band_48"]}
+QMF_PROTO = _npz["sbr_qmf_proto640"]               # ISO Table 4.A.87 window
 
 EXT_SBR_DATA = 13
 
+# Header fields the reference encoder transmits per operating point,
+# observed on the wire (fs_out, sbr channels) -> [(min_bitrate,
+# (bs_start_freq, bs_stop_freq, bs_freq_scale, bs_noise_bands)), ...]
+# highest matching row wins.  PS uses the mono row (mono SBR core).
+_HEADER_MAP = {
+    (48000, 1): [(0, (7, 8, 2, 2)), (28000, (10, 9, 2, 2)),
+                 (44000, (13, 11, 1, 2))],
+    (48000, 2): [(0, (10, 9, 2, 2)), (56000, (14, 12, 1, 3))],
+    (32000, 1): [(0, (12, 13, 2, 2)), (44000, (14, 13, 1, 2))],
+    (32000, 2): [(0, (12, 13, 2, 2)), (56000, (14, 13, 1, 3))],
+    (24000, 1): [(0, (7, 8, 2, 2)), (28000, (10, 9, 2, 2))],
+    (24000, 2): [(0, (10, 9, 2, 2))],
+    (16000, 1): [(0, (7, 8, 2, 2))],
+    (16000, 2): [(0, (7, 8, 2, 2))],
+}
 
-class SbrParams:
-    """Header choices + derived band tables (must mirror the decoder's
-    sbrdecUpdateFreqScale linear branch, sbrdec_freq_sca.cpp:410-455)."""
 
-    def __init__(self, fs_out, bs_start_freq=11):
-        self.fs_out = fs_out
-        self.bs_start_freq = bs_start_freq
-        self.bs_stop_freq = 14         # k2 = 2*k0 (no CalcBands needed)
-        self.bs_xover_band = 0
-        self.bs_freq_scale = 0
-        self.bs_alter_scale = 1        # dk = 2
-        self.bs_noise_bands = 0        # Nq = 1
-        self.amp_res = 1.5             # forced by FIXFIX/1-env anyway
-        k0 = int(START_BAND[fs_out][bs_start_freq])
-        k2 = min(2 * k0, 64)
-        dk = 2
-        nb = (((k2 - k0) >> 1) + 1) & 254
-        diff = [dk] * nb
+def _number_of_bands(bpo, start, stop, warp):
+    """sbrdec_freq_sca.cpp numberOfBands (float form + the 1/128 round-to-
+    even bias)."""
+    n = np.log2(stop / start) / 8.0 * (bpo / 16.0)
+    if warp:
+        n *= 25200.0 / 32768.0
+    return 2 * int(np.floor((n + 1.0 / 128.0) * 64.0))
+
+
+def _calc_bands(start, stop, num):
+    """sbrdec_freq_sca.cpp CalcBands: geometric band widths, built top-down
+    with Q8 rounding."""
+    bf = (start / stop) ** (1.0 / num)
+    diff = np.zeros(num, int)
+    previous = stop
+    exact = float(stop)
+    for i in range(num - 1, -1, -1):
+        exact *= bf
+        current = int(np.floor(exact + 0.5))
+        diff[i] = previous - current
+        previous = current
+    return diff
+
+
+def _modify_bands(max_band_previous, diff):
+    change = max_band_previous - diff[0]
+    if change > (diff[-1] - diff[0]) // 2:
+        change = (diff[-1] - diff[0]) // 2
+    diff[0] += change
+    diff[-1] -= change
+    return np.sort(diff)
+
+
+def _stop_band(fs, stop_freq, k0):
+    """sbrdec_freq_sca.cpp getStopBand (dual rate)."""
+    if stop_freq < 14:
+        if fs < 32000:
+            stop_min = ((2 * 6000 * 128 // fs) + 1) >> 1
+        elif fs < 64000:
+            stop_min = ((2 * 8000 * 128 // fs) + 1) >> 1
+        else:
+            stop_min = ((2 * 10000 * 128 // fs) + 1) >> 1
+        stop_min = min(stop_min, 64)
+        diff = np.sort(_calc_bands(stop_min, 64, 13))
+        borders = np.concatenate([[stop_min], stop_min + np.cumsum(diff)])
+        k2 = int(borders[stop_freq])
+    elif stop_freq == 14:
+        k2 = 2 * k0
+    else:
+        k2 = 3 * k0
+    return min(k2, 64)
+
+
+def _master_table(k0, k2, freq_scale, alter_scale):
+    """sbrdecUpdateFreqScale: log-scale (freq_scale 1..3) or linear (0)."""
+    if freq_scale > 0:
+        bpo = {1: 12.0, 2: 10.0, 3: 8.0}[freq_scale]
+        if 1000 * k2 > 2245 * k0:       # two regions
+            k1 = 2 * k0
+            nb0 = _number_of_bands(bpo, k0, k1, False)
+            nb1 = _number_of_bands(bpo, k1, k2, alter_scale)
+            d0 = np.sort(_calc_bands(k0, k1, nb0))
+            d1 = np.sort(_calc_bands(k1, k2, nb1))
+            if d0[-1] > d1[0]:
+                d1 = _modify_bands(d0[-1], d1)
+            master = np.concatenate([[k0], k0 + np.cumsum(d0),
+                                     k1 + np.cumsum(d1)])
+        else:
+            nb0 = _number_of_bands(bpo, k0, k2, False)
+            d0 = np.sort(_calc_bands(k0, k2, nb0))
+            master = np.concatenate([[k0], k0 + np.cumsum(d0)])
+    else:
+        dk = 2 if alter_scale else 1
+        nb = (((k2 - k0) >> 1) + 1) & 254 if alter_scale else (k2 - k0) & 254
+        diff = np.full(nb, dk, int)
         k2_diff = k2 - (k0 + nb * dk)
-        i = 0 if k2_diff < 0 else nb - 1
-        incr = 1 if k2_diff < 0 else -1
+        i, incr = (0, 1) if k2_diff < 0 else (nb - 1, -1)
         while k2_diff != 0:
             diff[i] -= incr
             i += incr
             k2_diff += incr
         master = np.concatenate([[k0], k0 + np.cumsum(diff)])
+    return master.astype(int)
+
+
+def _down_sample_lo_res(ref_table, num_result):
+    """sbrdecDownSampleLoRes: pick num_result borders from ref_table."""
+    org = len(ref_table) - 1
+    idx = [0]
+    result = num_result
+    while org > 0:
+        step = org // result
+        org -= step
+        result -= 1
+        idx.append(idx[-1] + step)
+    return np.asarray([ref_table[i] for i in idx], int)
+
+
+def _patch_source_map(k0, k2, fs):
+    """Decoder LPP transposer patch structure (lpp_tran.cpp
+    resetLppTransposer): maps each HF QMF channel in [k0, k2) to the low
+    band channel the patch copies from."""
+    goal_sb = int(round(2.048e6 / fs))           # ~ 21.3 kHz in QMF bands
+    src = np.arange(64)
+    msb = k0
+    usb = k2
+    x_over = k0
+    if goal_sb < x_over:
+        goal_sb = x_over
+    lsb = x_over
+    patches = []
+    sb = max(goal_sb, lsb)                        # first patch aims high
+    # ISO 4.6.18.6.3 patch construction
+    msb = lsb
+    while msb < usb:
+        num_bands = max(sb - msb if sb > msb else 0, 0)
+        num_bands = min(usb - msb, max(goal_sb - msb, 0))
+        if num_bands <= 0:
+            num_bands = usb - msb
+        start_src = lsb - num_bands
+        if start_src < 1:
+            num_bands = lsb - 1
+            start_src = 1
+        patches.append((msb, start_src, num_bands))
+        msb += num_bands
+    for tgt, s0, n in patches:
+        for j in range(n):
+            if tgt + j < 64:
+                src[tgt + j] = s0 + j
+    return src
+
+
+class SbrParams:
+    """Header choices + derived band tables, mirroring the decoder's
+    sbrdecUpdateFreqScale (sbrdec_freq_sca.cpp:300-560) so encoder band
+    grouping and decoder parsing agree exactly."""
+
+    def __init__(self, fs_out, bitrate=48000, channels=1):
+        self.fs_out = fs_out
+        rows = _HEADER_MAP[(fs_out, channels)]
+        sel = rows[0][1]
+        for thr, fields in rows:
+            if bitrate >= thr:
+                sel = fields
+        self.bs_start_freq, self.bs_stop_freq, self.bs_freq_scale, \
+            self.bs_noise_bands = sel
+        self.bs_xover_band = 0
+        self.bs_alter_scale = 1
+        self.amp_res = 3.0                        # header bs_amp_res = 1
+        k0 = int(START_BAND[fs_out][self.bs_start_freq])
+        k2 = _stop_band(fs_out, self.bs_stop_freq, k0)
         self.k0, self.k2 = k0, k2
-        self.master = master
-        hi = master[self.bs_xover_band:]
+        self.master = _master_table(k0, k2, self.bs_freq_scale,
+                                    self.bs_alter_scale)
+        hi = self.master[self.bs_xover_band:]
         self.f_hi = hi
         n_hi = len(hi) - 1
-        n_lo = n_hi - (n_hi >> 1)
-        # lo-res: every 2nd border from the top (ISO 4.6.18.3.2.2)
-        if n_hi & 1:
-            lo = np.concatenate([[hi[0]], hi[1::2]])
-        else:
+        # lo-res table (sbrdecUpdateLoRes)
+        if n_hi % 2 == 0:
             lo = hi[::2]
+        else:
+            lo = np.concatenate([[hi[0]], hi[1::2]])
         self.f_lo = lo
         self.n_hi, self.n_lo = n_hi, len(lo) - 1
-        self.noise_table = np.array([hi[0], hi[-1]])
-        self.n_q = 1
-        # QMF band width in Hz at the decoder: fs_out / 128
+        # noise bands: Nq = round(bands/octave * octaves), >= 1
+        nq = max(1, int(round(self.bs_noise_bands * np.log2(k2 / k0))))
+        self.n_q = min(nq, 5)
+        self.noise_table = _down_sample_lo_res(self.f_lo, self.n_q)
+        self.patch_src = _patch_source_map(k0, k2, fs_out)
         self.band_hz = fs_out / 128.0
 
 
+# ---- QMF analysis (ISO/IEC 14496-3 4.6.18.4 as one dense matmul) ----
+#
+# Per slot t the bank consumes 64 new samples; with the 640-tap window c
+# the whole slot is linear in the last 640 samples:
+#   x_buf(i) = newest-first buffer; z(i) = x_buf(i) * c(i)
+#   u(n) = sum_{m=0..4} z(n + 128 m),  n = 0..127
+#   W(k) = sum_n u(n) * exp(j pi/64 (k+0.5)(2n - 1)),  k = 0..63
+# Folding the window, fold and modulation into A[640, 128] makes the slot
+# a [640]x[640,128] product; T slots stack into one MXU matmul.
+_QMF_MAT = None
+
+
+def _qmf_matrix():
+    """Exact composition of the fdk analysis flow as one [640, 128] matrix
+    (all stages are linear in the 640-sample state buffer, forward time
+    order with the newest sample at index 639):
+
+      1. polyphase FIR fold   u[127-k] = sum_p proto[k+128p]*x[k+128p]
+         (qmf_pcm.h:493-516 qmfAnaPrototypeFirSlot_NonSymmetric)
+      2. +- fold to 64        r[0]=u[1]+u[0], i[0]=u[1]-u[0],
+                              r[n]=u[n+1]-u[128-n], i[n]=u[n+1]+u[128-n]
+         (qmf.cpp:221-252 qmfForwardModulationHQ, 64-band STD branch)
+      3. DCT-IV / DST-IV      Wr = DCT4(r), Wi = DST4(i)
+
+    then scaled so a unit-variance white input yields unit mean subband
+    energy E[|W|^2] = sigma^2 (the envelope scale the decoder loopback was
+    calibrated to)."""
+    global _QMF_MAT
+    if _QMF_MAT is None:
+        c = np.asarray(QMF_PROTO, np.float64)
+        # stage 1: [640, 128] x -> u
+        M1 = np.zeros((640, 128))
+        for k in range(128):
+            for p in range(5):
+                M1[k + 128 * p, 127 - k] = c[k + 128 * p]
+        # stage 2: [128, 128] u -> (r || i)
+        M2 = np.zeros((128, 128))
+        M2[1, 0] += 1.0
+        M2[0, 0] += 1.0          # r[0] = u[1] + u[0]
+        M2[1, 64] += 1.0
+        M2[0, 64] -= 1.0         # i[0] = u[1] - u[0]
+        for n in range(1, 64):
+            M2[n + 1, n] += 1.0
+            M2[128 - n, n] -= 1.0         # r[n] = u[n+1] - u[128-n]
+            M2[n + 1, 64 + n] += 1.0
+            M2[128 - n, 64 + n] += 1.0    # i[n] = u[n+1] + u[128-n]
+        # stage 3: DCT-IV on r, DST-IV on i
+        n = np.arange(64)
+        k = np.arange(64)
+        D = np.pi / 64.0 * (n[:, None] + 0.5) * (k[None, :] + 0.5)
+        M3 = np.zeros((128, 128))
+        M3[:64, :64] = np.cos(D)
+        M3[64:, 64:] = np.sin(D)
+        A = M1 @ M2 @ M3
+        # white-noise energy normalisation: for iid x ~ N(0,1),
+        # E[|W(k)|^2] = sum_j (Ar[j,k]^2 + Ai[j,k]^2)
+        g2 = (A[:, :64] ** 2 + A[:, 64:] ** 2).sum(0).mean()
+        _QMF_MAT = (A / np.sqrt(g2)).astype(np.float32)
+    return _QMF_MAT
+
+
+def qmf_analysis(x, hist, dtype=jnp.float32):
+    """x: [..., n] full-rate samples (n multiple of 64); hist: [..., 576].
+    Returns (Wr, Wi [..., T, 64], new_hist [..., 576])."""
+    xx = jnp.concatenate([hist, x], axis=-1)
+    T = x.shape[-1] // 64
+    B = xx.reshape(*xx.shape[:-1], T + 9, 64)
+    F = jnp.concatenate([B[..., i:i + T, :] for i in range(10)], axis=-1)
+    A = jnp.asarray(_qmf_matrix(), dtype)
+    W = F @ A                                     # [..., T, 128]
+    return W[..., :64], W[..., 64:], xx[..., -576:]
+
+
+def _band_mean_mat(borders, dtype, n=64):
+    """[64, NB] matrix averaging QMF subbands into bands."""
+    nb = len(borders) - 1
+    m = np.zeros((n, nb), np.float32)
+    for b in range(nb):
+        lo, hi = int(borders[b]), int(borders[b + 1])
+        m[lo:hi, b] = 1.0 / max(hi - lo, 1)
+    return jnp.asarray(m, dtype)
+
+
+def tonality_quotas(Wr, Wi, dtype=jnp.float32):
+    """Per-subband tonality-to-noise quota from 2nd-order complex LPC
+    across time slots (ton_corr.cpp:133-300 covariance method, float
+    semantics): q = E_pred / (E_tot - E_pred)."""
+    def corr(ar, ai, br, bi):
+        # sum_t a_t * conj(b_t) over the slot axis
+        return ((ar * br + ai * bi).sum(-2), (ai * br - ar * bi).sum(-2))
+
+    x0r, x0i = Wr[..., 2:, :], Wi[..., 2:, :]
+    x1r, x1i = Wr[..., 1:-1, :], Wi[..., 1:-1, :]
+    x2r, x2i = Wr[..., :-2, :], Wi[..., :-2, :]
+    r00 = (x0r * x0r + x0i * x0i).sum(-2)
+    r11 = (x1r * x1r + x1i * x1i).sum(-2)
+    r22 = (x2r * x2r + x2i * x2i).sum(-2)
+    r01r, r01i = corr(x0r, x0i, x1r, x1i)
+    r02r, r02i = corr(x0r, x0i, x2r, x2i)
+    r12r, r12i = corr(x1r, x1i, x2r, x2i)
+    tiny = jnp.asarray(1e-20, dtype)
+    # normalise all correlations by r00: scale-invariant and numerically
+    # safe in f32 (the raw products span ~1e18 and cancel catastrophically)
+    s = 1.0 / jnp.maximum(r00, tiny)
+    r11n, r22n = r11 * s, r22 * s
+    r01r, r01i = r01r * s, r01i * s
+    r02r, r02i = r02r * s, r02i * s
+    r12r, r12i = r12r * s, r12i * s
+    det = r11n * r22n - (r12r * r12r + r12i * r12i)
+    # AR(2) solve of [[r11, r12],[conj(r12), r22]] a = [r01, r02]:
+    #   a1 = (r01 r22 - r02 r12) / det
+    #   a2 = (r02 r11 - r01 conj(r12)) / det
+    safe_det = jnp.where(det > tiny, det, 1.0)
+    a1r = (r01r * r22n - (r02r * r12r - r02i * r12i)) / safe_det
+    a1i = (r01i * r22n - (r02i * r12r + r02r * r12i)) / safe_det
+    a2r = (r02r * r11n - (r01r * r12r + r01i * r12i)) / safe_det
+    a2i = (r02i * r11n - (r01i * r12r - r01r * r12i)) / safe_det
+    e2 = a1r * r01r + a1i * r01i + a2r * r02r + a2i * r02i
+    # AR(1) fallback when the 2x2 system is near singular (pure tones) or
+    # the AR(2) fit is numerically implausible
+    e1 = jnp.clip((r01r * r01r + r01i * r01i)
+                  / jnp.maximum(r11n, tiny), 0.0, 1.0)
+    valid = (det > 1e-5 * r11n * r22n) & (e2 >= 0.0) & (e2 <= 1.0)
+    e_pred = jnp.where(valid, e2, e1)
+    q = e_pred / jnp.maximum(1.0 - e_pred, 1e-3)
+    return q
+
+
 # Envelope semantics (established against the fdk decoder's
-# requantizeEnvelopeData, env_dec.cpp:585-650, and verified against the
-# values the reference encoder transmits): the value v (1.5 dB half-units)
-# satisfies v = 2*log2(E) where E is the MEAN energy of one QMF subband
-# sample in the band, with PCM in int16 units - for white noise of
-# per-sample band power P spread over the band, E = 64*P/n_subbands.
-ENV_OFFSET = 0.0  # residual trim (decoder-loopback calibrated)
+# requantizeEnvelopeData, env_dec.cpp:585-650): the transmitted value v
+# satisfies v = 2*log2(E) at 1.5 dB resolution (v = log2(E) at 3.0 dB)
+# where E is the MEAN energy of one QMF subband sample in the band, with
+# PCM in int16 units.  qmf_analysis is normalised to measure exactly E.
+ENV_BIAS = 0.5  # log2 units; decoder-loopback calibrated (the decoder's
+#                 gain/limiter chain lands ~1.5 dB under the transmitted
+#                 reference on stationary noise; this recentres it)
+
+# slot-to-slot energy contrast that switches an AU to a 2-envelope
+# variable grid (tran_det.cpp role); dynamic content needs the finer time
+# resolution much more than it needs the envelope bits - the device-side
+# exact bit counter charges the core budget either way
+TRANSIENT_RATIO = 6.0
+
+# Variable-grid menu for transient AUs: 2 envelopes with the mid border at
+# `ts` (time-slot units of 2 QMF slots, numberTimeSlots=15).  Each entry
+# maps to a decoder frame class + border code (env_extr.cpp:1460-1543):
+#   VARFIX (class 2): borders [aL, aL + 2R+2, 15]
+#   FIXVAR (class 1): borders [0, 15 - (2R+2), 15]  (A = 0)
+# Grid side info is 12 bits either way (class 2 + bord 2 + n 2 + rel 2 +
+# pointer 2 (p=0) + freqRes 2x1).
+GRID_MENU = [
+    (2, 2, 0),    # (border_ts, frame_class, R)
+    (4, 2, 1),
+    (6, 2, 2),
+    (7, 1, 3),
+    (8, 2, 3),
+    (9, 1, 2),
+    (11, 1, 1),
+    (13, 1, 0),
+]
 
 
-def envelope_energies(au_pcm, params, dtype=jnp.float32):
-    """au_pcm: [..., n] full-rate samples of one AU (int16 scale floats).
-    Returns the per-lo-res-band mean QMF-subband-sample energy [..., n_lo]
-    (the quantity the decoder's envelope adjuster targets per subband)."""
-    n = au_pcm.shape[-1]
-    win = jnp.asarray(np.hanning(n), dtype)
-    spec = jnp.fft.rfft(au_pcm * win)
-    p = (spec.real ** 2 + spec.imag ** 2)
-    # compensate hann power loss (sum w^2 / n = 0.375)
-    p = p * (1.0 / 0.375)
-    nbins = p.shape[-1]
-    freqs = np.arange(nbins) * params.fs_out / n
-    borders_hz = params.f_lo * params.band_hz
-    outs = []
-    for b in range(params.n_lo):
-        m = (freqs >= borders_hz[b]) & (freqs < borders_hz[b + 1])
-        band_p = (p * jnp.asarray(m, dtype)).sum(-1)
-        # rfft half-spectrum Parseval: sum|X|^2 ~ (n/2) * sum_t x_t^2, so
-        # per-time-sample band power P = band_p * 2 / n^2; one QMF subband
-        # sample holds 64*P/nsub (mean across the band's nsub subbands)
-        nsub = max(int(params.f_lo[b + 1] - params.f_lo[b]), 1)
-        outs.append(band_p * (2.0 * 64.0 / (float(n) * n * nsub)))
-    return jnp.stack(outs, axis=-1)
+def quantize_envelope(energies, amp15=True):
+    lg = jnp.log2(jnp.maximum(energies, 1e-9)) + ENV_BIAS
+    if amp15:
+        return jnp.clip(jnp.round(2.0 * lg), 0, 127).astype(jnp.int32)
+    return jnp.clip(jnp.round(lg), 0, 63).astype(jnp.int32)
 
 
-def quantize_envelope(energies, dtype=jnp.float32):
-    """energy -> 1.5dB-step envelope values (0..127)."""
-    v = 2.0 * jnp.log2(jnp.maximum(energies, 1e-9)) + ENV_OFFSET
-    return jnp.clip(jnp.round(v), 0, 127).astype(jnp.int32)
+def sbr_side_analysis(x, hist, params, nau, dtype=jnp.float32):
+    """Full SBR side-data extraction for one superframe.
 
-
-def tonality_analysis(au_pcm, params, dtype=jnp.float32):
-    """Per-AU tonality-derived SBR side decisions (the roles of
-    ton_corr.cpp/nf_est.cpp/invf_est.cpp/mh_det.cpp, re-expressed over the
-    same batched rFFT the envelopes use).
-
-    Tonality per region is measured as T = log2(total / (median*nbins)):
-    ~0 for white noise, large for sinusoids (the median is a robust noise-
-    floor estimator, playing the part of the reference's predictability
-    quotients).  Returns dict:
-      noise_q  [...]: 5-bit noise floor scale factor (0 = all noise, 3 dB
-                      per step like the reference's Q ladder);
-      invf     [...]: bs_invf_mode 0..3 (OFF/LOW/MID/HIGH) from the
-                      low-vs-high tonality difference (invf_est.cpp's
-                      region borders);
-      add_harm [..., n_hi]: conservative missing-harmonic flags - a high
-                      band dominated by one line (peak >> band mean) whose
-                      patch source region is NOT similarly tonal.
+    x: [S, ch, nau*1920] full-rate (delayed) signal; hist: [S, ch, 576].
+    Returns (side dict, new hist).  Shapes ([S, ch, nau, ...] transposed to
+    [S, nau, ch, ...] at the end):
+      env   [.., n_hi]      1-envelope values (1.5 dB units)
+      env2  [.., 2, n_hi]   2-envelope values (3.0 dB units)
+      transient [..]        bool, selects the 2-envelope FIXFIX grid
+      noise_q [.., n_q]     5-bit noise floors
+      invf  [.., n_q]       bs_invf_mode 0..3
+      add_harm [.., n_hi]   missing-harmonic flags
     """
-    n = au_pcm.shape[-1]
-    win = jnp.asarray(np.hanning(n), dtype)
-    spec = jnp.fft.rfft(au_pcm * win)
-    p = (spec.real ** 2 + spec.imag ** 2).astype(dtype)
-    nbins = p.shape[-1]
-    freqs = np.arange(nbins) * params.fs_out / n
-    f_lo_hz = params.k0 * params.band_hz
-    f_hi_hz = params.k2 * params.band_hz
+    S, ch, n = x.shape
+    Wr, Wi, hist = qmf_analysis(x, hist, dtype)
+    T = n // 64                                    # 30 per AU
+    ts = T // nau
+    Wr = Wr.reshape(S, ch, nau, ts, 64)
+    Wi = Wi.reshape(S, ch, nau, ts, 64)
+    E = Wr * Wr + Wi * Wi                          # [S,ch,nau,ts,64]
 
-    def region_stats(fmin, fmax):
-        lo = int(np.searchsorted(freqs, fmin))
-        hi = max(int(np.searchsorted(freqs, fmax)), lo + 2)
-        seg = p[..., lo:hi]
-        tot = seg.sum(-1)
-        med = jnp.median(seg, axis=-1)
-        t = jnp.log2(jnp.maximum(tot, 1e-9)
-                     / jnp.maximum(med * (hi - lo), 1e-9))
-        return tot, med, t
+    bh = _band_mean_mat(params.f_hi, dtype)        # [64, n_hi]
+    Eb = E @ bh                                    # [S,ch,nau,ts,n_hi]
+    env1 = Eb.mean(-2)
+    env = quantize_envelope(env1, amp15=True)
 
-    _, _, t_lo = region_stats(0.5 * f_lo_hz, f_lo_hz)
-    tot_hi, med_hi, t_hi = region_stats(f_lo_hz, f_hi_hz)
+    # transient detection + border placement (tran_det.cpp + fram_gen.cpp
+    # roles): find the largest slot-to-slot level change of the SBR-range
+    # energy; a big change switches the AU to a 2-envelope variable grid
+    # with the border at the nearest reachable menu position
+    sbr_mask = jnp.asarray((np.arange(64) >= params.k0)
+                           & (np.arange(64) < params.k2), dtype)
+    es = (E * sbr_mask).sum(-1)                    # [S,ch,nau,ts]
+    les = jnp.log2(es + 1.0)
+    dlt = les[..., 1:] - les[..., :-1]             # [S,ch,nau,ts-1]
+    d = jnp.abs(dlt)
+    t0 = jnp.argmax(d, -1) + 1                     # change slot
+    transient = d.max(-1) > np.log2(TRANSIENT_RATIO)
+    # rising edge: bias the border AFTER the onset - the decoder amplifies
+    # whatever the patch holds in the loud envelope's span, so a loud
+    # envelope starting before the attack turns core pre-ring into loud HF
+    # pre-noise (slightly softening the first attack slots is far less
+    # audible); falling edge: symmetric, cut early
+    rising = jnp.take_along_axis(dlt, (t0 - 1)[..., None], -1)[..., 0] > 0
+    t0b = jnp.where(rising, t0 + 2, t0 - 2)
+    menu_ts = np.asarray([m[0] for m in GRID_MENU])
+    gi = jnp.argmin(jnp.abs(t0b[..., None] / 2.0
+                            - menu_ts[None, :]), -1)  # [S,ch,nau]
+    B = jnp.asarray(2 * menu_ts, jnp.int32)[gi]    # qmf-slot border
+    # segment stats via prefix sums selected at the border (static shapes);
+    # the quieter segment uses the GEOMETRIC mean - robust against the
+    # smear spike at the border, which would otherwise set the whole
+    # pre/post-transient envelope ~20 dB too high (audible pre-echo)
+    lEb = jnp.log2(Eb + 1e-6)
+    zrow = jnp.zeros_like(Eb[..., :1, :])
+    cum = jnp.concatenate([zrow, jnp.cumsum(Eb, axis=-2)], axis=-2)
+    cuml = jnp.concatenate([zrow, jnp.cumsum(lEb, axis=-2)], axis=-2)
+    oh = (jnp.arange(ts + 1) == B[..., None]).astype(dtype)    # [..,ts+1]
+    cum_b = jnp.einsum("...tn,...t->...n", cum, oh)
+    cuml_b = jnp.einsum("...tn,...t->...n", cuml, oh)
+    bf = B.astype(dtype)[..., None]
+    na, nb = jnp.maximum(bf, 1.0), jnp.maximum(ts - bf, 1.0)
+    aa = cum_b / na
+    ab = (cum[..., -1, :] - cum_b) / nb
+    ga = jnp.exp2(cuml_b / na)
+    gb = jnp.exp2((cuml[..., -1, :] - cuml_b) / nb)
+    a_quiet = aa.sum(-1, keepdims=True) < ab.sum(-1, keepdims=True)
+    env2a = jnp.where(a_quiet, ga, aa)
+    env2b = jnp.where(a_quiet, ab, gb)
+    env2 = jnp.stack([quantize_envelope(env2a, amp15=False),
+                      quantize_envelope(env2b, amp15=False)], axis=-2)
 
-    # noise floor: Q = log2(total/noise) in 3 dB steps (nf_est.cpp ladder);
-    # median*nbins estimates the noise part of the high band
-    noise_q = jnp.clip(jnp.round(t_hi), 0, 30).astype(jnp.int32)
+    # tonality quotas per subband (2nd-order LPC over the AU's slots)
+    q = tonality_quotas(Wr, Wi, dtype)             # [S,ch,nau,64]
+    q_src = q[..., params.patch_src]               # patch-source quotas
 
-    # inverse filtering: whiten the patch when the source region is tonal
-    # but the original high band is noise-like (invf_est.cpp's detector
-    # walks the same low/high tonality ratio)
-    d = t_lo - t_hi
-    invf = jnp.where(d > 7.0, 3,
-           jnp.where(d > 3.0, 2,
-           jnp.where(t_hi > 9.0, 0, 1))).astype(jnp.int32)
+    # noise floors per noise band (nf_est.cpp float semantics):
+    #   NSR = max(1, w * mean(q_src)/mean(q_orig)) / mean(q_orig)
+    #   Q = 6 - log2(NSR)  (decoder: NSR = 2^(NOISE_FLOOR_OFFSET - Q))
+    bn = _band_mean_mat(params.noise_table, dtype)  # [64, n_q]
+    qo = q @ bn
+    qs = q_src @ bn
+    w = 1.0
+    nsr = jnp.maximum(1.0, w * qs / jnp.maximum(qo, 1e-3)) \
+        / jnp.maximum(qo, 1e-3)
+    nsr = jnp.clip(nsr, 2.0 ** -24, 2.0)           # ana_max_level ladder cap
+    noise_q = jnp.clip(jnp.round(6.0 - jnp.log2(nsr)), 0, 30).astype(jnp.int32)
+    # silent-passage fix (nf_est.cpp:266-272): a low Q on a near-zero band
+    # makes the decoder synthesise noise at full reference level - force
+    # "no noise" whenever the band carries nothing audible
+    en_nq = E.mean(-2) @ bn                        # [S,ch,nau,n_q]
+    noise_q = jnp.where(en_nq < 100.0, 30, noise_q)
 
-    # missing harmonics: per hi-res band, a dominant isolated line that the
-    # transposer cannot produce from a noise-like source region
-    flags = []
-    for b in range(params.n_hi):
-        blo = int(np.searchsorted(freqs, params.f_hi[b] * params.band_hz))
-        bhi = max(int(np.searchsorted(freqs, params.f_hi[b + 1] * params.band_hz)),
-                  blo + 2)
-        seg = p[..., blo:bhi]
-        peak = seg.max(-1)
-        mean = seg.mean(-1)
-        # patch source ~ one octave down
-        slo = blo // 2
-        shi = max(bhi // 2, slo + 2)
-        src = p[..., slo:shi]
-        s_tonal = src.max(-1) > 30.0 * src.mean(-1)
-        strong = (peak > 120.0 * mean) & (peak * (bhi - blo) > 0.25 * tot_hi)
-        flags.append(strong & ~s_tonal)
-    add_harm = jnp.stack(flags, -1)
-    return {"noise_q": noise_q, "invf": invf, "add_harm": add_harm}
+    # inverse filtering per noise band (invf_est.cpp ladder): whiten the
+    # patch when the source region is audibly more tonal than the original
+    rho = (qs + 1.0) / (qo + 1.0)
+    invf = jnp.where(rho > 10.0, 3,
+           jnp.where(rho > 3.0, 2,
+           jnp.where(rho > 0.8, 1, 0))).astype(jnp.int32)
+
+    # missing harmonics per hi band (mh_det.cpp role): strongly tonal
+    # original whose patch source cannot supply the tone
+    qh = q @ _band_sum_max(params.f_hi, dtype)
+    qhs = q_src @ _band_sum_max(params.f_hi, dtype)
+    add_harm = (qh > 30.0) & (qh > 10.0 * qhs)
+
+    def mv(a):
+        return jnp.moveaxis(a, 1, 2)               # [S,ch,nau,..]->[S,nau,ch,..]
+    side = {"sbr_env": mv(env), "sbr_env2": mv(env2),
+            "sbr_transient": mv(transient), "sbr_noise_q": mv(noise_q),
+            "sbr_invf": mv(invf), "sbr_addharm": mv(add_harm),
+            "sbr_tgrid": mv(gi.astype(jnp.int32))}
+    return side, hist
+
+
+def payload_bits(side, params, nau, ps_bits=None):
+    """Exact device-side SBR payload size per AU [S, nau] in bits,
+    mirroring write_sbr_payload bit-for-bit (so the core rate loop hands
+    exactly the leftover budget to the AAC quantiser - the reference
+    computes SBR before the core for the same reason, aacenc.cpp flow)."""
+    env = side["sbr_env"]            # [S,nau,ch,n_hi] 1.5dB
+    env2 = side["sbr_env2"]          # [S,nau,ch,2,n_hi] 3dB
+    tr = side["sbr_transient"]       # [S,nau,ch]
+    nq = side["sbr_noise_q"]         # [S,nau,ch,n_q]
+    ah = side["sbr_addharm"]         # [S,nau,ch,n_hi]
+    n_hi, n_q = params.n_hi, params.n_q
+    lenf = jnp.asarray(ENV_LEN_F, jnp.int32)      # LAV 60 (1.5 dB)
+    len3 = jnp.asarray(ENV3_LEN_F, jnp.int32)     # LAV 31 (3.0 dB)
+    lenn = jnp.asarray(NOISE_LEN_F, jnp.int32)    # LAV 31 (noise)
+
+    def delta_bits(v, table, lav):
+        d = jnp.clip(v[..., 1:] - v[..., :-1], -lav, lav) + lav
+        return table[d].sum(-1)
+
+    env1_bits = 7 + delta_bits(env, lenf, 60)               # [S,nau,ch]
+    env2_bits = 6 + delta_bits(env2[..., 0, :], len3, 31) \
+        + 6 + delta_bits(env2[..., 1, :], len3, 31)
+    noise1_bits = 5 + delta_bits(nq, lenn, 31)
+    env_bits = jnp.where(tr, env2_bits, env1_bits)
+    noise_bits = jnp.where(tr, 2 * noise1_bits, noise1_bits)
+    dtdf = jnp.where(tr, 4, 2)
+    grid = jnp.where(tr, 12, 5)        # variable grid vs FIXFIX 1-env
+    addharm = 1 + jnp.where(ah.any(-1), n_hi, 0)
+    ch_bits = grid + dtdf + 2 * n_q + env_bits + noise_bits + addharm
+    n_ch = env.shape[2]
+    body = ch_bits.sum(2) + (1 if n_ch == 2 else 0) + 1     # coupling + extra
+    if ps_bits is not None:
+        # replace the plain bs_extended_data=0 bit with the PS extension:
+        # bs_extended_data(1) + size(4[+8]) + ext payload (ext id(2) + ps
+        # data, padded to ext_sz whole bytes)
+        ext_sz = (2 + ps_bits + 7) // 8
+        body = body + 4 + jnp.where(ext_sz >= 15, 8, 0) + 8 * ext_sz
+    # header on AU 0 only (the reference sends it once per superframe)
+    hdr = jnp.asarray([29 if a == 0 else 1 for a in range(nau)], jnp.int32)
+    sbr_bits = body + hdr[None, :]
+    # FIL element: 3 id + 4 cnt (+8 esc if cnt>=15) + 4 ext type, padded
+    cnt = (4 + sbr_bits + 7) // 8
+    total = 3 + 4 + jnp.where(cnt >= 15, 8, 0) + 8 * cnt
+    return total.astype(jnp.int32)
+
+
+def ps_data_bits(iid, iid_fine, use_fine, icc):
+    """Exact ps_data size in bits [S, nau], mirroring _write_ps_data."""
+    lf = jnp.asarray(IID_LEN_F, jnp.int32)
+    lff = jnp.asarray(IID_LEN_FF, jnp.int32)
+    lic = jnp.asarray(ICC_LEN_F, jnp.int32)
+
+    def dsum(v, table, lav):
+        d = jnp.clip(jnp.diff(v, axis=-1, prepend=0), -lav, lav) + lav
+        return table[d].sum(-1)
+
+    bits_c = dsum(iid, lf, 14)
+    bits_f = dsum(iid_fine, lff, 30)
+    # fixed fields (hdr+iid+mode3+icc+mode3+ext+class+numenv2+2 delta flags)
+    return 15 + jnp.where(use_fine, bits_f, bits_c) + dsum(icc, lic, 7)
+
+
+_BAND_MAX = {}
+
+
+def _band_sum_max(borders, dtype):
+    """[64, NB] matrix taking the max-approx (p=4 power mean) per band --
+    used for the missing-harmonics tonality, where one dominant subband
+    must not be averaged away."""
+    key = (tuple(int(b) for b in borders), str(dtype))
+    if key not in _BAND_MAX:
+        nb = len(borders) - 1
+        m = np.zeros((64, nb), np.float32)
+        for b in range(nb):
+            lo, hi = int(borders[b]), int(borders[b + 1])
+            m[lo:hi, b] = 1.0
+        _BAND_MAX[key] = m
+    return jnp.asarray(_BAND_MAX[key], dtype)
 
 
 # ---- Parametric Stereo (HE-AAC v2) ----
@@ -298,12 +713,24 @@ def _write_ps_data(bw, iid_idx, icc_idx=None, fine=False):
     return len(bw.buf) * 8 + bw.nbits - n0
 
 
-def _write_grid(sbr, n_env):
-    """FIXFIX grid for one channel (env_extr.cpp extractFrameInfo case 0:
-    E code = ceil(log2(n_env)), one static freq_res bit for all envs)."""
-    sbr.put(0, 2)                         # bs_frame_class FIXFIX
-    sbr.put(0 if n_env == 1 else 1, 2)    # ceil(log2(num_env))
-    sbr.put(0, 1)                         # bs_freq_res = low resolution
+def _write_grid(sbr, n_env, grid_idx=None):
+    """Frame grid for one channel.  1 envelope: FIXFIX (env_extr.cpp
+    extractFrameInfo case 0).  2 envelopes: variable grid from GRID_MENU
+    (FIXVAR/VARFIX, cases 1/2) with the border at the detected
+    transient."""
+    if n_env == 1 or grid_idx is None:
+        sbr.put(0, 2)                     # bs_frame_class FIXFIX
+        sbr.put(0 if n_env == 1 else 1, 2)
+        sbr.put(1, 1)                     # bs_freq_res = high resolution
+        return
+    _, fclass, rel = GRID_MENU[int(grid_idx)]
+    sbr.put(fclass, 2)                    # FIXVAR (1) / VARFIX (2)
+    sbr.put(0, 2)                         # A / aL = 0
+    sbr.put(1, 2)                         # one relative border
+    sbr.put(rel, 2)                       # R code: width = 2R+2
+    sbr.put(0, 2)                         # pointer p = 0
+    sbr.put(1, 1)                         # freq res env 0 = high
+    sbr.put(1, 1)                         # freq res env 1 = high
 
 
 def _write_dtdf(sbr, n_env):
@@ -314,48 +741,66 @@ def _write_dtdf(sbr, n_env):
         sbr.put(0, 1)                     # bs_df_noise = FREQ
 
 
-def _write_invf(sbr, params, mode=1):
-    for _ in range(params.n_q):
-        sbr.put(int(mode), 2)             # bs_invf_mode (OFF/LOW/MID/HIGH)
+def _write_invf(sbr, params, modes):
+    """bs_invf_mode per noise band."""
+    for i in range(params.n_q):
+        m = int(modes[i]) if hasattr(modes, "__len__") else int(modes)
+        sbr.put(m, 2)
 
 
 def _write_env(sbr, envs, params):
-    """envelopes, FREQ delta coding (amp-res 1.5: 7-bit start + LAV60
-    huffman; the header transmits bs_amp_res=0 so multi-envelope frames use
-    the same resolution the decoder forces for FIXFIX 1-env)."""
+    """Envelope data, FREQ delta coding, hi-res bands.  amp-res follows the
+    decoder contract (env_extr.cpp): FIXFIX 1-env frames always use 1.5 dB
+    (7-bit start + LAV60 books); multi-envelope frames use the header's
+    3.0 dB (6-bit start + LAV31 books), like the reference
+    (code_env.cpp:123-185 table switch on currentAmpResFF)."""
+    amp15 = len(envs) == 1
+    start_bits = 7 if amp15 else 6
+    code, ln, lav = (ENV_CODE_F, ENV_LEN_F, 60) if amp15 else \
+        (ENV3_CODE_F, ENV3_LEN_F, 31)
     for env_vals in envs:
         v0 = int(env_vals[0])
-        sbr.put(v0, 7)
+        sbr.put(v0, start_bits)
         prev = v0
-        for i in range(1, params.n_lo):
+        for i in range(1, params.n_hi):
             d = int(env_vals[i]) - prev
-            d = max(-60, min(60, d))
-            sbr.put(int(ENV_CODE_F[d + 60]), int(ENV_LEN_F[d + 60]))
+            d = max(-lav, min(lav, d))
+            sbr.put(int(code[d + lav]), int(ln[d + lav]))
             prev = prev + d
 
 
-def _write_noise(sbr, noise_val, n_env):
+def _write_noise(sbr, noise_vals, params, n_env):
+    """Noise floor data: per noise envelope, first band 5 bits then FREQ
+    deltas with the LAV31 book (bit_sbr.cpp:751-830 writeNoiseLevelData)."""
     for _ in range(1 if n_env == 1 else 2):
-        sbr.put(int(noise_val), 5)
+        v0 = int(noise_vals[0])
+        sbr.put(v0, 5)
+        prev = v0
+        for i in range(1, params.n_q):
+            d = int(noise_vals[i]) - prev
+            d = max(-31, min(31, d))
+            sbr.put(int(NOISE_CODE_F[d + 31]), int(NOISE_LEN_F[d + 31]))
+            prev = prev + d
 
 
-def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
+def write_sbr_payload(bw_target, envs, noise_vals, params, write_header=True,
                       ps_iid=None, envs_r=None, ps_icc=None,
-                      invf=1, invf_r=1, noise_val_r=None, add_harm=None,
-                      add_harm_r=None, ps_fine=False):
+                      invf=1, invf_r=1, noise_vals_r=None, add_harm=None,
+                      add_harm_r=None, ps_fine=False,
+                      grid_idx=None, grid_idx_r=None):
     """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
 
     bw_target: the AU BitWriter (after the SCE/CPE).  envs: list of 1 or 2
-    [n_lo] envelope arrays (2 = transient AU, split FIXFIX grid);
-    noise_val: int 0..31; ps_iid: [10] coarse IID indices or None;
-    envs_r: right-channel envelopes for stereo (non-PS) SBR - emits the
-    sbr_channel_pair_element layout the reference decoder parses at
-    env_extr.cpp:617-820 (coupling off: grids, dtdfs, invfs, env L, env R,
-    noise L, noise R, add-harmonic flags)."""
+    [n_hi] envelope arrays (2 = transient AU, split FIXFIX grid; 1-env
+    values are 1.5 dB units, 2-env values 3.0 dB units);
+    noise_vals: [n_q] ints 0..30; invf: [n_q] modes;
+    ps_iid: [10] IID indices or None; envs_r: right-channel envelopes for
+    stereo (non-PS) SBR - emits the sbr_channel_pair_element layout the
+    reference decoder parses at env_extr.cpp:617-820 (coupling off)."""
     cpe = envs_r is not None
     nl, nr = len(envs), len(envs_r) if cpe else 0
-    if noise_val_r is None:
-        noise_val_r = noise_val
+    if noise_vals_r is None:
+        noise_vals_r = noise_vals
 
     def _write_add_harm(sbr_bw, flags):
         if flags is None or not any(bool(f) for f in flags):
@@ -367,7 +812,7 @@ def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
     sbr = BitWriter()
     sbr.put(1 if write_header else 0, 1)  # bs_header_flag
     if write_header:
-        sbr.put(0, 1)                     # bs_amp_res = 1.5 dB
+        sbr.put(1, 1)                     # bs_amp_res = 3.0 dB
         sbr.put(params.bs_start_freq, 4)
         sbr.put(params.bs_stop_freq, 4)
         sbr.put(params.bs_xover_band, 3)
@@ -380,24 +825,24 @@ def write_sbr_payload(bw_target, envs, noise_val, params, write_header=True,
     sbr.put(0, 1)                         # bs_data_extra
     if cpe:
         sbr.put(0, 1)                     # bs_coupling off
-        _write_grid(sbr, nl)              # grid L
-        _write_grid(sbr, nr)              # grid R
+        _write_grid(sbr, nl, grid_idx)    # grid L
+        _write_grid(sbr, nr, grid_idx_r)  # grid R
         _write_dtdf(sbr, nl)              # dtdf L
         _write_dtdf(sbr, nr)              # dtdf R
         _write_invf(sbr, params, invf)    # invf L
         _write_invf(sbr, params, invf_r)  # invf R
         _write_env(sbr, envs, params)
         _write_env(sbr, envs_r, params)
-        _write_noise(sbr, noise_val, nl)  # noise L
-        _write_noise(sbr, noise_val_r, nr)  # noise R
+        _write_noise(sbr, noise_vals, params, nl)    # noise L
+        _write_noise(sbr, noise_vals_r, params, nr)  # noise R
         _write_add_harm(sbr, add_harm)    # sinusoidal coding L
         _write_add_harm(sbr, add_harm_r)  # sinusoidal coding R
     else:
-        _write_grid(sbr, nl)
+        _write_grid(sbr, nl, grid_idx)
         _write_dtdf(sbr, nl)
         _write_invf(sbr, params, invf)
         _write_env(sbr, envs, params)
-        _write_noise(sbr, noise_val, nl)
+        _write_noise(sbr, noise_vals, params, nl)
         _write_add_harm(sbr, add_harm)
     if ps_iid is None:
         sbr.put(0, 1)                     # bs_extended_data

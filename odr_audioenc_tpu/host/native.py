@@ -143,13 +143,15 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         nq = np.ascontiguousarray(out_np["sbr_noise_q"], np.int32)
         invf = np.ascontiguousarray(out_np["sbr_invf"], np.int32)
         addh = np.ascontiguousarray(out_np["sbr_addharm"], np.uint8)
+        tgrid = np.ascontiguousarray(out_np["sbr_tgrid"], np.int32)
         nq_p = _p(nq, ctypes.c_int32)
         invf_p = _p(invf, ctypes.c_int32)
         addh_p = _p(addh, ctypes.c_uint8)
+        tgrid_p = _p(tgrid, ctypes.c_int32)
     else:
         sbrp = np.asarray([0] * 8 + [12, 1, 0], np.int32)
         env_p = env2_p = trans_p = None
-        nq_p = invf_p = addh_p = None
+        nq_p = invf_p = addh_p = tgrid_p = None
     if enc.is_ps and "ps_iid" in out_np:
         iid = np.ascontiguousarray(out_np["ps_iid"], np.int32)
         iid_p = _p(iid, ctypes.c_int32)
@@ -195,7 +197,7 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         _p(ms, ctypes.c_uint8) if ms is not None else None,
         _p(tns_en, ctypes.c_uint8), _p(tns_order, ctypes.c_int32),
         _p(tns_idx, ctypes.c_int32), ctypes.c_int(tlc),
-        env_p, env2_p, trans_p, nq_p, invf_p, addh_p,
+        env_p, env2_p, trans_p, nq_p, invf_p, addh_p, tgrid_p,
         iid_p, iidf_p, psf_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
         _p(sbrp, ctypes.c_int32), _p(sfp, ctypes.c_int32),
         _p(out, ctypes.c_uint8), ctypes.c_int(out_stride),

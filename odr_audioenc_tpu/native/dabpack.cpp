@@ -352,33 +352,41 @@ int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc,
   return int(bw.bitpos - n0);
 }
 
-void write_env(BitWr &sbr, const int32_t *env_vals, int n_lo) {
+void write_env(BitWr &sbr, const int32_t *env_vals, int nb, bool amp15) {
+  /* 1-envelope frames: 1.5 dB units (7-bit start, LAV60 books); split
+   * frames: 3.0 dB (6-bit start, LAV31 books) - code_env.cpp:123-185 */
   int prev = env_vals[0];
-  sbr.put(uint32_t(prev), 7);
-  for (int i = 1; i < n_lo; ++i) {
+  sbr.put(uint32_t(prev), amp15 ? 7 : 6);
+  int lav = amp15 ? 60 : 31;
+  for (int i = 1; i < nb; ++i) {
     int d = env_vals[i] - prev;
-    d = d < -60 ? -60 : (d > 60 ? 60 : d);
-    sbr.put(ENV_CODE_F[d + 60], ENV_LEN_F[d + 60]);
+    d = d < -lav ? -lav : (d > lav ? lav : d);
+    if (amp15)
+      sbr.put(ENV_CODE_F[d + 60], ENV_LEN_F[d + 60]);
+    else
+      sbr.put(ENV3_CODE_F[d + 31], ENV3_LEN_F[d + 31]);
     prev = prev + d;
   }
 }
 
 void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
-                       const int32_t *const *envs_r, int nr, int noise_val,
+                       const int32_t *const *envs_r, int nr,
+                       const int32_t *noise_l,
                        const int32_t *P /* sbr params */, bool write_header,
                        const int32_t *ps_iid, const int32_t *ps_icc,
-                       int invf_l = 1, int invf_r = 1, int noise_val_r = -1,
+                       const int32_t *invf_l, const int32_t *invf_r,
+                       const int32_t *noise_r,
                        const uint8_t *add_harm_l = nullptr,
                        const uint8_t *add_harm_r = nullptr, int n_hi = 0,
-                       int ps_fine = 0) {
+                       int ps_fine = 0, int gidx_l = -1, int gidx_r = -1) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
-   * 5 noise_bands, 6 n_q, 7 n_lo */
-  if (noise_val_r < 0) noise_val_r = noise_val;
+   * 5 noise_bands, 6 n_q, 7 n_lo, 10 n_hi */
+  if (!noise_r) noise_r = noise_l;
   uint8_t sbuf[512] = {0};
   BitWr sbr(sbuf);
   sbr.put(write_header ? 1 : 0, 1);
   if (write_header) {
-    sbr.put(0, 1); /* bs_amp_res = 1.5 dB */
+    sbr.put(1, 1); /* bs_amp_res = 3.0 dB */
     sbr.put(uint32_t(P[0]), 4);
     sbr.put(uint32_t(P[1]), 4);
     sbr.put(uint32_t(P[2]), 3);
@@ -390,23 +398,47 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
     sbr.put(uint32_t(P[5]), 2);
   }
   sbr.put(0, 1); /* bs_data_extra */
-  auto grid = [&](int ne) {
-    sbr.put(0, 2);                       /* FIXFIX */
-    sbr.put(ne == 1 ? 0 : 1, 2);         /* ceil(log2(num_env)) */
-    sbr.put(0, 1);                       /* bs_freq_res (static) */
+  /* variable-grid menu (sbr.py GRID_MENU): {frame_class, R} per entry */
+  static const int GRID_CLASS[8] = {2, 2, 2, 1, 2, 1, 1, 1};
+  static const int GRID_REL[8] = {0, 1, 2, 3, 3, 2, 1, 0};
+  auto grid = [&](int ne, int gidx) {
+    if (ne == 1 || gidx < 0) {
+      sbr.put(0, 2);                     /* FIXFIX */
+      sbr.put(ne == 1 ? 0 : 1, 2);       /* ceil(log2(num_env)) */
+      sbr.put(1, 1);                     /* bs_freq_res = high */
+      return;
+    }
+    sbr.put(uint32_t(GRID_CLASS[gidx]), 2);  /* FIXVAR / VARFIX */
+    sbr.put(0, 2);                       /* A / aL = 0 */
+    sbr.put(1, 2);                       /* one relative border */
+    sbr.put(uint32_t(GRID_REL[gidx]), 2);
+    sbr.put(0, 2);                       /* pointer p = 0 */
+    sbr.put(1, 1);                       /* freq res env 0 */
+    sbr.put(1, 1);                       /* freq res env 1 */
   };
   auto dtdf = [&](int ne) {
     for (int e = 0; e < ne; ++e) sbr.put(0, 1);
     for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(0, 1);
   };
   auto envw = [&](const int32_t *const *envs, int ne) {
-    for (int e = 0; e < ne; ++e) write_env(sbr, envs[e], P[7]);
+    for (int e = 0; e < ne; ++e) write_env(sbr, envs[e], n_hi, ne == 1);
   };
-  auto noisew = [&](int ne, int nv) {
-    for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(uint32_t(nv), 5);
+  auto noisew = [&](int ne, const int32_t *nv) {
+    /* first band 5 bits, then FREQ deltas (bit_sbr.cpp:751-830) */
+    for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) {
+      int prev = nv[0];
+      sbr.put(uint32_t(prev), 5);
+      for (int i = 1; i < P[6]; ++i) {
+        int d = nv[i] - prev;
+        d = d < -31 ? -31 : (d > 31 ? 31 : d);
+        sbr.put(NOISE_CODE_F[d + 31], NOISE_LEN_F[d + 31]);
+        prev = prev + d;
+      }
+    }
   };
-  auto invfw = [&](int mode) {
-    for (int i = 0; i < P[6]; ++i) sbr.put(uint32_t(mode), 2);
+  auto invfw = [&](const int32_t *modes) {
+    for (int i = 0; i < P[6]; ++i)
+      sbr.put(uint32_t(modes ? modes[i] : 1), 2);
   };
   auto addharmw = [&](const uint8_t *flags) {
     bool any = false;
@@ -422,22 +454,22 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
   if (envs_r) {
     /* sbr_channel_pair_element, coupling off (env_extr.cpp:617-820) */
     sbr.put(0, 1);                                   /* bs_coupling */
-    grid(nl); grid(nr);
+    grid(nl, gidx_l); grid(nr, gidx_r);
     dtdf(nl); dtdf(nr);
     invfw(invf_l);
     invfw(invf_r);
     envw(envs_l, nl);
     envw(envs_r, nr);
-    noisew(nl, noise_val);
-    noisew(nr, noise_val_r);
+    noisew(nl, noise_l);
+    noisew(nr, noise_r);
     addharmw(add_harm_l);
     addharmw(add_harm_r);
   } else {
-    grid(nl);
+    grid(nl, gidx_l);
     dtdf(nl);
     invfw(invf_l);
     envw(envs_l, nl);
-    noisew(nl, noise_val);
+    noisew(nl, noise_l);
     addharmw(add_harm_l);
   }
   if (!ps_iid) {
@@ -533,8 +565,9 @@ int dabplus_pack_batch(
     const int32_t *sbr_env2,     /* [S,nau,env_ch,2,n_lo] or NULL */
     const uint8_t *sbr_trans,    /* [S,nau,env_ch] or NULL */
     const int32_t *sbr_nq,       /* [S,nau,env_ch] noise floors or NULL */
-    const int32_t *sbr_invf,     /* [S,nau,env_ch] invf modes or NULL */
+    const int32_t *sbr_invf,     /* [S,nau,env_ch,n_q] invf modes or NULL */
     const uint8_t *sbr_addh,     /* [S,nau,env_ch,n_hi] or NULL */
+    const int32_t *sbr_tgrid,    /* [S,nau,env_ch] grid menu idx or NULL */
     const int32_t *ps_iid,       /* [S,nau,10] or NULL */
     const int32_t *ps_iid_fine,  /* [S,nau,10] or NULL */
     const uint8_t *ps_fine,      /* [S,nau] or NULL */
@@ -617,31 +650,31 @@ int dabplus_pack_batch(
       }
       if (sbr_env) {
         const int env_ch = sbrp[9];
-        const int n_lo = sbrp[7];
-        const int32_t *ev = sbr_env + ((size_t(s) * nau + a) * env_ch) * n_lo;
+        const int n_hi = sbrp[10];
+        const int n_q = sbrp[6];
+        const int32_t *ev = sbr_env + ((size_t(s) * nau + a) * env_ch) * n_hi;
         const int32_t *ev2 = sbr_env2
-            ? sbr_env2 + (((size_t(s) * nau + a) * env_ch) * 2) * n_lo : nullptr;
+            ? sbr_env2 + (((size_t(s) * nau + a) * env_ch) * 2) * n_hi : nullptr;
         const uint8_t *tr = sbr_trans
             ? sbr_trans + (size_t(s) * nau + a) * env_ch : nullptr;
         const int32_t *el[2], *er[2];
         int nl = 1, nr = 1;
         if (tr && tr[0] && ev2) {
-          el[0] = ev2; el[1] = ev2 + n_lo; nl = 2;
+          el[0] = ev2; el[1] = ev2 + n_hi; nl = 2;
         } else {
           el[0] = ev;
         }
         if (env_ch == 2) {
           if (tr && tr[1] && ev2) {
-            er[0] = ev2 + 2 * n_lo; er[1] = ev2 + 3 * n_lo; nr = 2;
+            er[0] = ev2 + 2 * n_hi; er[1] = ev2 + 3 * n_hi; nr = 2;
           } else {
-            er[0] = ev + n_lo;
+            er[0] = ev + n_hi;
           }
         }
-        const int n_hi = sbrp[10];
-        const int32_t *nq = sbr_nq ? sbr_nq + (size_t(s) * nau + a) * env_ch
-                                   : nullptr;
+        const int32_t *nq = sbr_nq
+            ? sbr_nq + ((size_t(s) * nau + a) * env_ch) * n_q : nullptr;
         const int32_t *ivf = sbr_invf
-            ? sbr_invf + (size_t(s) * nau + a) * env_ch : nullptr;
+            ? sbr_invf + ((size_t(s) * nau + a) * env_ch) * n_q : nullptr;
         const uint8_t *ah = sbr_addh
             ? sbr_addh + ((size_t(s) * nau + a) * env_ch) * n_hi : nullptr;
         const int fine = (ps_fine && ps_fine[size_t(s) * nau + a]) ? 1 : 0;
@@ -650,17 +683,23 @@ int dabplus_pack_batch(
                    ? ps_iid_fine + (size_t(s) * nau + a) * 10
                    : ps_iid + (size_t(s) * nau + a) * 10)
             : nullptr;
+        const int32_t *tg = sbr_tgrid
+            ? sbr_tgrid + (size_t(s) * nau + a) * env_ch : nullptr;
+        const int gl = (nl == 2 && tg) ? tg[0] : -1;
+        const int gr = (nr == 2 && tg && env_ch == 2) ? tg[1] : -1;
+        /* header on AU 0 only (the reference sends it once per
+         * superframe); matches sbr.payload_bits on the device */
         write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
-                          nq ? nq[0] : sbrp[8], sbrp, true,
+                          nq, sbrp, a == 0,
                           iid_sel,
                           ps_icc ? ps_icc + (size_t(s) * nau + a) * 10
                                  : nullptr,
-                          ivf ? ivf[0] : 1,
-                          (ivf && env_ch == 2) ? ivf[1] : 1,
-                          (nq && env_ch == 2) ? nq[1] : -1,
+                          ivf,
+                          (ivf && env_ch == 2) ? ivf + n_q : nullptr,
+                          (nq && env_ch == 2) ? nq + n_q : nullptr,
                           ah,
                           (ah && env_ch == 2) ? ah + n_hi : nullptr, n_hi,
-                          fine);
+                          fine, gl, gr);
       }
 
       au_start[a] = pos;

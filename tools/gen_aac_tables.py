@@ -117,6 +117,28 @@ def main():
         t = extract(dec, f"FDK_sbrDecoder_sbr_start_freq_{rate}[][16]", 32, np.int64)
         tables[f"sbr_start_band_{rate}"] = t.reshape(2, 16)[0]
 
+    # 640-tap QMF prototype filter (libFDK/src/FDK_tools_rom.cpp
+    # qmf_pfilt640, Q31 fixed point -> float64); the ISO/IEC 14496-3
+    # Table 4.A.87 window of the 64-band analysis/synthesis bank
+    rom2 = strip_comments(
+        (REF / "libFDK/src/FDK_tools_rom.cpp").read_text())
+    # the scalar qmf_pfilt640[] stores only 330 values (symmetry-folded);
+    # the _vector variant carries all 640 as 32 blocks x 5 rows x 4 sets:
+    # vector[b*20 + r*4 + j] = p[(4b + j) + 128*r]
+    i = rom2.index("qmf_pfilt640_vector[]")
+    j = rom2.index("{", i)
+    body = rom2[j:rom2.index(";", j)]
+    vals = [int(x, 16) for x in re.findall(r"0[xX][0-9a-fA-F]+", body)]
+    assert len(vals) == 640, len(vals)
+    q = np.asarray(vals, np.uint32).astype(np.int64)
+    q = np.where(q >= 2**31, q - 2**32, q).astype(np.float64) / 2.0**31
+    p = np.zeros(640)
+    for b in range(32):
+        for r in range(5):
+            for jj in range(4):
+                p[(4 * b + jj) + 128 * r] = q[b * 20 + r * 4 + jj]
+    tables["sbr_qmf_proto640"] = p
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes): {len(tables)} tables")
