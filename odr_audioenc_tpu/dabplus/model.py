@@ -22,6 +22,11 @@ from ..host.aacpack import SuperframePacker, write_au
 # content the decoder will scale with it - a loud envelope can then never
 # land on a silent patch (gain-explosion junk at onsets).
 SBR_SHIFT = 2304
+# PS parameter application span lead: the PS data rides in the same FIL
+# element but the decoder interpolates each parameter set from the previous
+# one across the span, so the effective image lags ~half an AU behind the
+# envelope span; 1344 = SBR_SHIFT - au/2 measured best on the PEAQ corpus
+PS_SHIFT = 1344
 
 
 @dataclass
@@ -255,6 +260,8 @@ class DabPlusEncoder:
                                        self.dtype)
             st["sbr_hist"] = jnp.zeros((self.S, self.core_channels,
                                         SBR_SHIFT), self.dtype)
+        if self.is_ps:
+            st["ps_hist"] = jnp.zeros((self.S, 2, PS_SHIFT), self.dtype)
         st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
         return st
 
@@ -282,13 +289,13 @@ class DabPlusEncoder:
         sbr_out = {}
         if self.is_ps:
             # parametric stereo: IID from L/R, then mono downmix feeds SBR+core.
-            # The decoder interpolates each AU's PS parameters from the
-            # previous set across the AU, so the effective image lags half an
-            # AU; measure IID on windows centred at each coded AU's END (the
-            # undelayed input provides the half-AU look-ahead).
-            half = cfg.au_samples // 2
-            nxt = x_new[..., -cfg.au_samples:-cfg.au_samples + half]
-            x_ps = jnp.concatenate([x[..., half:], nxt], -1)
+            # The decoder applies AU n's PS parameters over the same span its
+            # SBR envelope covers (PS_SHIFT samples ahead of the coded AU,
+            # see SBR_SHIFT), interpolating from the previous set across the
+            # span; measure the stereo image over that application span.
+            x_ps = jnp.concatenate([state["ps_hist"],
+                                    x[..., :-PS_SHIFT]], -1)
+            state = dict(state, ps_hist=x[..., -PS_SHIFT:])
             aus_lr = x_ps.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
             iid, icc, iid_fine, use_fine = SBR.iid_parameters(
                 aus_lr[:, :, 0], aus_lr[:, :, 1], cfg.sample_rate, self.dtype)

