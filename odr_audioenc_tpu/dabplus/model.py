@@ -345,12 +345,23 @@ class DabPlusEncoder:
         prevs = jnp.concatenate([state["prev"][None], grans[:-1]], axis=0)
 
         max_sfb = jnp.full((S,), self.max_sfb, jnp.int32)
-        budget = jnp.full((S,), self.budget_au, jnp.int32)
         nch = jnp.full((S,), self.core_channels, jnp.int32)
+
+        # intra-superframe bit distribution by difficulty: the superframe is
+        # a hard byte budget, so bits moved between its AUs are free (unlike
+        # the cross-superframe reservoir, whose unused withholding burns as
+        # FIL padding).  High-contrast AUs (attack/offset granules, where
+        # quantisation noise is audible against the quiet span) get a larger
+        # share - the role of fdk's PE-based bit allocation (adj_thr.cpp).
+        se_au = (grans * grans).reshape(nau, S, ch, 8, AT.N // 8).sum(-1)
+        hard_au = (se_au.max(-1) > 32.0 * (se_au.min(-1) + 1.0)).any(-1)
+        w = 1.0 + 0.5 * hard_au.astype(self.dtype)            # [nau,S]
+        total = nau * self.budget_au - sbr_bits.T.sum(0)      # [S]
+        budgets = (total * (w / w.sum(0))).astype(jnp.int32)  # [nau,S]
 
         def au_body(carry, xs):
             leftover, thr_nm1, pre_flag = carry
-            prev, cur, seq, sb_au = xs
+            prev, cur, seq, budget_au = xs
             spec = E.mdct_frame_switched(prev, cur, self.cos_basis,
                                          self.wvecs, self.short_basis,
                                          seq, self.dtype)
@@ -359,18 +370,23 @@ class DabPlusEncoder:
             sub = cur.reshape(cur.shape[0], cur.shape[1], 8, AT.N // 8)
             se = (sub * sub).sum(-1)
             transient = se.max(-1) > 6.0 * (se.mean(-1) + 1.0)
-            # per-AU budget = superframe share minus this AU's exact SBR
-            # payload (the reference encodes SBR first for the same reason)
-            budget_au = budget - sb_au
+            # reservoir spending policy (bitres usage by demand,
+            # aacenc.cpp:961-1000 spirit): ordinary AUs may only dip into a
+            # quarter of the accumulated reservoir, high-contrast AUs
+            # (attacks AND offsets - where long-window quantisation noise is
+            # audible against the quiet span) drain it
+            hard = (se.max(-1) > 32.0 * (se.min(-1) + 1.0)).any(-1)
+            allow = jnp.where(hard, leftover, leftover // 4)
             o = E.encode_au(spec, self.pt, self.band_m, self.bol,
-                            max_sfb, budget_au + leftover, nch, self.dtype,
+                            max_sfb, budget_au + allow, nch, self.dtype,
                             tns_cfg=self.tns_cfg, transient=transient,
                             short_ctx=self.short_ctx, is_short=seq == 2,
                             refine_rounds=E.REFINE_ROUNDS
                             if cfg.afterburner else 0,
                             modify_minsnr=self.modify_minsnr,
                             pre_state=(thr_nm1, pre_flag), seq=seq)
-            leftover = jnp.maximum(budget_au + leftover - o["bits"], 0).astype(jnp.int32)
+            leftover = (jnp.maximum(budget_au + allow - o["bits"], 0)
+                        + (leftover - allow)).astype(jnp.int32)
             o["wseq"] = seq
             # minimal dtypes: device->host transfer is on the critical path
             # (q <= 8191, gains/noise-nrg in [-100, 155], books <= 15,
@@ -389,7 +405,7 @@ class DabPlusEncoder:
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
         (bitres, thr_nm1, pre_flag), out = jax.lax.scan(
             au_body, (bitres0, state["thr_nm1"], state["pre_flag"]),
-            (prevs, grans, wseq, sbr_bits.T))
+            (prevs, grans, wseq, budgets))
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
         out.update(sbr_out)
         return dict(state, prev=grans[-1],
