@@ -80,6 +80,7 @@ class DabPlusEncoder:
         # PS downmixes to mono; plain SBR keeps the channel count (stereo
         # SBR = CPE core + sbr_channel_pair_element)
         self.core_channels = 1 if self.is_ps else cfg.channels
+        self.ps_nenv = SBR.ps_num_env(cfg.bitrate) if self.is_ps else 0
         self.cos_basis = jnp.asarray(AT.long_cos_basis(), dtype)
         self.wvecs = jnp.asarray(AT.window_vectors(), dtype)
         self.short_basis = jnp.asarray(AT.short_cos_basis(), dtype)
@@ -296,13 +297,34 @@ class DabPlusEncoder:
             x_ps = jnp.concatenate([state["ps_hist"],
                                     x[..., :-PS_SHIFT]], -1)
             state = dict(state, ps_hist=x[..., -PS_SHIFT:])
-            aus_lr = x_ps.reshape(S, 2, nau, cfg.au_samples).transpose(2, 0, 1, 3)
+            # PS_NENV envelopes per AU: the image is measured per
+            # sub-window (the decoder interpolates between parameter sets)
+            ne = self.ps_nenv
+            sub = cfg.au_samples // ne
+            aus_lr = x_ps.reshape(S, 2, nau, ne, sub).transpose(2, 0, 3, 1, 4)
             iid, icc, iid_fine, use_fine = SBR.iid_parameters(
-                aus_lr[:, :, 0], aus_lr[:, :, 1], cfg.sample_rate, self.dtype)
-            sbr_out["ps_iid"] = jnp.moveaxis(iid, 0, 1)  # [S, nau, 10]
-            sbr_out["ps_icc"] = jnp.moveaxis(icc, 0, 1)  # [S, nau, 10]
+                aus_lr[:, :, :, 0], aus_lr[:, :, :, 1], cfg.sample_rate,
+                self.dtype)                            # [nau, S, ne, 20]
+            if ne > 1:
+                # static-image stabilisation: when the per-envelope IID
+                # estimates agree within one step, transmit their mean in
+                # every envelope - the decoder then holds the image instead
+                # of interpolating through estimation jitter (the role of
+                # fdk's parameter time-smoothing, ps_encode.cpp)
+                def stab(v, tol):
+                    # per band: estimation jitter collapses to the mean,
+                    # true image motion (spread > tol) passes through
+                    spread = v.max(-2, keepdims=True) - v.min(-2, keepdims=True)
+                    mean = jnp.round(v.mean(-2, keepdims=True)).astype(v.dtype)
+                    return jnp.where(spread <= tol,
+                                     jnp.broadcast_to(mean, v.shape), v)
+                iid = stab(iid, 1)
+                iid_fine = stab(iid_fine, 2)
+            sbr_out["ps_iid"] = jnp.moveaxis(iid, 0, 1)   # [S, nau, ne, 20]
+            sbr_out["ps_icc"] = jnp.moveaxis(icc, 0, 1)
             sbr_out["ps_iid_fine"] = jnp.moveaxis(iid_fine, 0, 1)
-            sbr_out["ps_fine"] = jnp.moveaxis(use_fine, 0, 1)  # [S, nau]
+            # one iid_mode per frame: fine when any envelope needs the range
+            sbr_out["ps_fine"] = jnp.moveaxis(use_fine.any(-1), 0, 1)
             # energy-compensated mono downmix (correlation loss correction)
             m = 0.5 * (x[:, 0:1] + x[:, 1:2])
             e_lr = (x[:, 0:1] ** 2 + x[:, 1:2] ** 2).sum(-1, keepdims=True)

@@ -574,19 +574,29 @@ def payload_bits(side, params, nau, ps_bits=None):
 
 
 def ps_data_bits(iid, iid_fine, use_fine, icc):
-    """Exact ps_data size in bits [S, nau], mirroring _write_ps_data."""
+    """Exact ps_data size in bits [S, nau], mirroring _write_ps_data.
+    iid/iid_fine/icc: [S, nau, n_env, 20]."""
     lf = jnp.asarray(IID_LEN_F, jnp.int32)
     lff = jnp.asarray(IID_LEN_FF, jnp.int32)
     lic = jnp.asarray(ICC_LEN_F, jnp.int32)
+    n_env = iid.shape[-2]
 
     def dsum(v, table, lav):
-        d = jnp.clip(jnp.diff(v, axis=-1, prepend=0), -lav, lav) + lav
-        return table[d].sum(-1)
+        # env 0: FREQ deltas; env e>0: TIME deltas vs env e-1
+        df = jnp.clip(jnp.diff(v[..., 0, :], axis=-1, prepend=0),
+                      -lav, lav) + lav
+        bits = table[df].sum(-1)
+        if n_env > 1:
+            dt = jnp.clip(v[..., 1:, :] - v[..., :-1, :], -lav, lav) + lav
+            bits = bits + table[dt].sum((-1, -2))
+        return bits
 
     bits_c = dsum(iid, lf, 14)
     bits_f = dsum(iid_fine, lff, 30)
-    # fixed fields (hdr+iid+mode3+icc+mode3+ext+class+numenv2+2 delta flags)
-    return 15 + jnp.where(use_fine, bits_f, bits_c) + dsum(icc, lic, 7)
+    # fixed fields: hdr+iid_en+mode3+icc_en+mode3+ext+class+numenv2
+    # + one dt flag per envelope for iid and for icc
+    return (13 + 2 * n_env + jnp.where(use_fine, bits_f, bits_c)
+            + dsum(icc, lic, 7))
 
 
 _BAND_MAX = {}
@@ -619,12 +629,23 @@ IID_GRID_DB = np.array([-25, -18, -14, -10, -7, -4, -2, 0, 2, 4, 7, 10, 14, 18, 
 IID_GRID_FINE_DB = np.array(
     [-50, -45, -40, -35, -30, -25, -22, -19, -16, -13, -10, -8, -6, -4, -2,
      0, 2, 4, 6, 8, 10, 13, 16, 19, 22, 25, 30, 35, 40, 45, 50], np.float32)
-PS_NBANDS = 10
-# approximate Hz borders of the 10 coarse parameter bands at 48 kHz output
-# (hybrid group borders iidGroupBordersLoRes, ps_encode.cpp:123-127, taking
-# every 2nd of the 20-band grid; QMF band = fs/128)
-PS_BORDER_QMF = np.array([0.0, 1 / 3, 2 / 3, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0,
-                          14.0, 64.0])
+PS_NBANDS = 20
+# parameter-band borders in QMF-band units (fs/128 per unit at the output
+# rate): the 20-band "LoRes" grid of ps_encode.cpp:123-138
+# (iidGroupBordersLoRes + subband2parameter20) - the first 8 bins are the
+# hybrid filterbank's sub-QMF splits of QMF bands 0-2, the rest straight
+# QMF groupings
+PS_BORDER_QMF = np.array([0.0, 0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 2.5, 3.0,
+                          4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 11.0, 14.0, 18.0,
+                          23.0, 35.0, 64.0])
+def ps_num_env(bitrate):
+    """Envelopes per PS frame by bitrate (ps_main.cpp psTuningTable:
+    NENV_1 below 28 kbps, NENV_2 to 36 kbps, NENV_4 above)."""
+    if bitrate < 28000:
+        return 1
+    if bitrate < 36000:
+        return 2
+    return 4
 
 
 ICC_CODE_F = _npz["ps_iccDeltaFreq_Code"]
@@ -651,7 +672,8 @@ def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
     cross = sl.real * sr.real + sl.imag * sr.imag  # Re(L * conj(R))
     freqs = np.arange(pl.shape[-1]) * fs_out / n
     borders = PS_BORDER_QMF * fs_out / 128.0
-    idxs, iccs, fidxs, errc, errf = [], [], [], [], []
+    idxs, fidxs, errc, errf = [], [], [], []
+    els, ers, crs = [], [], []
     grid = jnp.asarray(IID_GRID_DB, dtype)
     fgrid = jnp.asarray(IID_GRID_FINE_DB, dtype)
     icc_grid = jnp.asarray(ICC_GRID, dtype)
@@ -668,48 +690,69 @@ def iid_parameters(au_l, au_r, fs_out, dtype=jnp.float32):
         qf = jnp.argmin(df, axis=-1)
         errf.append(jnp.min(df, axis=-1))
         fidxs.append((qf - 15).astype(jnp.int32))
-        rho = jnp.clip((cross * m).sum(-1) / jnp.sqrt(el * er), -1.0, 1.0)
-        qi = jnp.argmin(jnp.abs(rho[..., None] - icc_grid), axis=-1)
-        iccs.append(qi.astype(jnp.int32))
+        els.append(el)
+        ers.append(er)
+        crs.append((cross * m).sum(-1))
     err_c = sum(errc)
     err_f = sum(errf)
     use_fine = (err_c - err_f) > 0.5 * PS_NBANDS
+    # ICC from statistics pooled over the envelope axis and over band
+    # pairs: the narrow 20-band grid on short sub-windows makes the raw
+    # correlation estimate noisy and biased low, and the decoder responds
+    # with audible over-decorrelation (ps_encode.cpp smooths its hybrid
+    # cross-products over time for the same reason)
+    iccs = []
+    for j in range(PS_NBANDS // 2):
+        el2 = (els[2 * j] + els[2 * j + 1]).sum(-1, keepdims=True)
+        er2 = (ers[2 * j] + ers[2 * j + 1]).sum(-1, keepdims=True)
+        cr2 = (crs[2 * j] + crs[2 * j + 1]).sum(-1, keepdims=True)
+        rho = jnp.clip(cr2 / jnp.sqrt(el2 * er2), -1.0, 1.0)
+        qi = jnp.argmin(jnp.abs(rho[..., None] - icc_grid),
+                        axis=-1).astype(jnp.int32)
+        qi = jnp.broadcast_to(qi, els[0].shape)
+        iccs.extend([qi, qi])
     return (jnp.stack(idxs, axis=-1), jnp.stack(iccs, axis=-1),
             jnp.stack(fidxs, axis=-1), use_fine)
 
 
 def _write_ps_data(bw, iid_idx, icc_idx=None, fine=False):
-    """ps_data with IID (coarse mode 0 or fine mode 3) + ICC parameters
-    (ps_bitenc.cpp:555-623; parse order per psbitdec.cpp:449-575: header,
-    framing, IID envelopes, ICC envelopes).  Returns bit count."""
+    """ps_data with IID (20-band coarse mode 1 / fine mode 4) + 20-band ICC
+    over PS_NENV envelopes (ps_bitenc.cpp:555-623; parse order per
+    psbitdec.cpp:449-575: header, framing, IID envelopes, ICC envelopes).
+    iid_idx/icc_idx: [n_env, 20].  Envelope 0 is FREQ-delta coded,
+    subsequent envelopes TIME-delta coded against the previous one.
+    Returns bit count."""
     n0 = len(bw.buf) * 8 + bw.nbits
     has_icc = icc_idx is not None
+    n_env = len(iid_idx)
     bw.put(1, 1)   # enable_ps_header
     bw.put(1, 1)   # enable_iid
-    bw.put(3 if fine else 0, 3)  # iid_mode: 10 bands, fine/coarse quant
+    bw.put(4 if fine else 1, 3)  # iid_mode: 20 bands, fine/coarse quant
     bw.put(1 if has_icc else 0, 1)  # enable_icc
     if has_icc:
-        bw.put(0, 3)  # icc_mode 0 = coarse, 10 bands
+        bw.put(1, 3)  # icc_mode 1 = 20 bands
     bw.put(0, 1)   # enable_ext
     bw.put(0, 1)   # frame_class FIX
-    bw.put(1, 2)   # num_env_idx -> 1 envelope
-    bw.put(0, 1)   # delta_iid[0] = FREQ
-    last = 0
+    bw.put({1: 1, 2: 2, 4: 3}[n_env], 2)  # num_env_idx (psbitdec table)
     code, ln, lav = (IID_CODE_FF, IID_LEN_FF, 30) if fine else \
         (IID_CODE_F, IID_LEN_F, 14)
-    for b in range(PS_NBANDS):
-        d = int(iid_idx[b]) - last
-        last = int(iid_idx[b])
-        d = max(-lav, min(lav, d))
-        bw.put(int(code[d + lav]), int(ln[d + lav]))
-    if has_icc:
-        bw.put(0, 1)   # delta_icc[0] = FREQ
-        last = 0
+
+    def deltas(vals, e, table, lens, dlav):
+        # FREQ (across bands, from 0) for envelope 0; TIME (same band of
+        # the previous envelope) afterwards - values stay in quantiser
+        # range so the LAV clamp never binds
+        bw.put(0 if e == 0 else 1, 1)
         for b in range(PS_NBANDS):
-            d = int(icc_idx[b]) - last
-            last = int(icc_idx[b])
-            d = max(-7, min(7, d))
-            bw.put(int(ICC_CODE_F[d + 7]), int(ICC_LEN_F[d + 7]))
+            ref = (int(vals[e][b - 1]) if b else 0) if e == 0 \
+                else int(vals[e - 1][b])
+            d = max(-dlav, min(dlav, int(vals[e][b]) - ref))
+            bw.put(int(table[d + dlav]), int(lens[d + dlav]))
+
+    for e in range(n_env):
+        deltas(iid_idx, e, code, ln, lav)
+    if has_icc:
+        for e in range(n_env):
+            deltas(icc_idx, e, ICC_CODE_F, ICC_LEN_F, 7)
     return len(bw.buf) * 8 + bw.nbits - n0
 
 

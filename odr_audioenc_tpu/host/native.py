@@ -136,7 +136,8 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         env_ch = env.shape[2]
         sbrp = np.asarray([p.bs_start_freq, p.bs_stop_freq, p.bs_xover_band,
                            p.bs_freq_scale, p.bs_alter_scale, p.bs_noise_bands,
-                           p.n_q, p.n_lo, 12, env_ch, p.n_hi], np.int32)
+                           p.n_q, p.n_lo, 12, env_ch, p.n_hi,
+                           getattr(enc, "ps_nenv", 0)], np.int32)
         env_p = _p(env, ctypes.c_int32)
         env2_p = _p(env2, ctypes.c_int32)
         trans_p = _p(trans, ctypes.c_uint8)
@@ -149,7 +150,7 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         addh_p = _p(addh, ctypes.c_uint8)
         tgrid_p = _p(tgrid, ctypes.c_int32)
     else:
-        sbrp = np.asarray([0] * 8 + [12, 1, 0], np.int32)
+        sbrp = np.asarray([0] * 8 + [12, 1, 0, 0], np.int32)
         env_p = env2_p = trans_p = None
         nq_p = invf_p = addh_p = tgrid_p = None
     if enc.is_ps and "ps_iid" in out_np:

@@ -316,37 +316,46 @@ void write_dse(BitWr &bw, const uint8_t *payload, int n) {
   }
 }
 
+#define PS_NBANDS 20
+
 int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc,
-                  int fine) {
+                  int fine, int n_env) {
+  /* 20-band IID (mode 1 coarse / 4 fine) + 20-band ICC over PS_NENV
+   * envelopes; env 0 FREQ-delta, later envelopes TIME-delta (mirrors
+   * sbr.py _write_ps_data / ps_bitenc.cpp:555-623).
+   * iid/icc: [PS_NENV][PS_NBANDS] row-major. */
   size_t n0 = bw.bitpos;
   bw.put(1, 1);
   bw.put(1, 1);
-  bw.put(fine ? 3 : 0, 3);   /* iid_mode: 10 bands, fine/coarse */
+  bw.put(fine ? 4 : 1, 3);   /* iid_mode: 20 bands, fine/coarse */
   bw.put(icc ? 1 : 0, 1);
-  if (icc) bw.put(0, 3);
+  if (icc) bw.put(1, 3);     /* icc_mode 1 = 20 bands */
   bw.put(0, 1);
-  bw.put(0, 1);
-  bw.put(1, 2);
-  bw.put(0, 1);
-  int last = 0;
+  bw.put(0, 1);              /* frame_class FIX */
+  bw.put(n_env == 1 ? 1 : (n_env == 2 ? 2 : 3), 2);
   int lav = fine ? 30 : 14;
-  for (int b = 0; b < 10; ++b) {
-    int d = iid[b] - last;
-    last = iid[b];
-    d = d < -lav ? -lav : (d > lav ? lav : d);
-    if (fine)
-      bw.put(IID_CODE_FF[d + 30], IID_LEN_FF[d + 30]);
-    else
-      bw.put(IID_CODE_F[d + 14], IID_LEN_F[d + 14]);
+  for (int e = 0; e < n_env; ++e) {
+    bw.put(e == 0 ? 0 : 1, 1);          /* bs_iid_dt */
+    for (int b = 0; b < PS_NBANDS; ++b) {
+      int ref = e == 0 ? (b ? iid[b - 1] : 0) : iid[(e - 1) * PS_NBANDS + b];
+      int d = iid[e * PS_NBANDS + b] - ref;
+      d = d < -lav ? -lav : (d > lav ? lav : d);
+      if (fine)
+        bw.put(IID_CODE_FF[d + 30], IID_LEN_FF[d + 30]);
+      else
+        bw.put(IID_CODE_F[d + 14], IID_LEN_F[d + 14]);
+    }
   }
   if (icc) {
-    bw.put(0, 1);
-    last = 0;
-    for (int b = 0; b < 10; ++b) {
-      int d = icc[b] - last;
-      last = icc[b];
-      d = d < -7 ? -7 : (d > 7 ? 7 : d);
-      bw.put(ICC_CODE_F[d + 7], ICC_LEN_F[d + 7]);
+    for (int e = 0; e < n_env; ++e) {
+      bw.put(e == 0 ? 0 : 1, 1);        /* bs_icc_dt */
+      for (int b = 0; b < PS_NBANDS; ++b) {
+        int ref = e == 0 ? (b ? icc[b - 1] : 0)
+                         : icc[(e - 1) * PS_NBANDS + b];
+        int d = icc[e * PS_NBANDS + b] - ref;
+        d = d < -7 ? -7 : (d > 7 ? 7 : d);
+        bw.put(ICC_CODE_F[d + 7], ICC_LEN_F[d + 7]);
+      }
     }
   }
   return int(bw.bitpos - n0);
@@ -477,7 +486,7 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
   } else {
     uint8_t pbuf[64] = {0};
     BitWr ps(pbuf);
-    int ps_bits = 2 + write_ps_data(ps, ps_iid, ps_icc, ps_fine);
+    int ps_bits = 2 + write_ps_data(ps, ps_iid, ps_icc, ps_fine, P[11]);
     int ext_size = (ps_bits + 7) / 8;
     sbr.put(1, 1);
     if (ext_size < 15) {
@@ -568,10 +577,10 @@ int dabplus_pack_batch(
     const int32_t *sbr_invf,     /* [S,nau,env_ch,n_q] invf modes or NULL */
     const uint8_t *sbr_addh,     /* [S,nau,env_ch,n_hi] or NULL */
     const int32_t *sbr_tgrid,    /* [S,nau,env_ch] grid menu idx or NULL */
-    const int32_t *ps_iid,       /* [S,nau,10] or NULL */
-    const int32_t *ps_iid_fine,  /* [S,nau,10] or NULL */
+    const int32_t *ps_iid,       /* [S,nau,PS_NENV,20] or NULL */
+    const int32_t *ps_iid_fine,  /* [S,nau,PS_NENV,20] or NULL */
     const uint8_t *ps_fine,      /* [S,nau] or NULL */
-    const int32_t *ps_icc,       /* [S,nau,10] or NULL */
+    const int32_t *ps_icc,       /* [S,nau,PS_NENV,20] or NULL */
     const uint8_t *pads,         /* [S,nau,pad_stride] or NULL */
     const int32_t *pad_len,     /* [S,nau] */
     int pad_stride,
@@ -680,8 +689,8 @@ int dabplus_pack_batch(
         const int fine = (ps_fine && ps_fine[size_t(s) * nau + a]) ? 1 : 0;
         const int32_t *iid_sel = ps_iid
             ? (fine && ps_iid_fine
-                   ? ps_iid_fine + (size_t(s) * nau + a) * 10
-                   : ps_iid + (size_t(s) * nau + a) * 10)
+                   ? ps_iid_fine + (size_t(s) * nau + a) * size_t(sbrp[11]) * PS_NBANDS
+                   : ps_iid + (size_t(s) * nau + a) * size_t(sbrp[11]) * PS_NBANDS)
             : nullptr;
         const int32_t *tg = sbr_tgrid
             ? sbr_tgrid + (size_t(s) * nau + a) * env_ch : nullptr;
@@ -692,7 +701,7 @@ int dabplus_pack_batch(
         write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
                           nq, sbrp, a == 0,
                           iid_sel,
-                          ps_icc ? ps_icc + (size_t(s) * nau + a) * 10
+                          ps_icc ? ps_icc + (size_t(s) * nau + a) * size_t(sbrp[11]) * PS_NBANDS
                                  : nullptr,
                           ivf,
                           (ivf && env_ch == 2) ? ivf + n_q : nullptr,
