@@ -50,6 +50,25 @@ def main():
     except Exception:
         pass
 
+    # the remote-TPU tunnel occasionally drops; retry initialization a few
+    # times before giving up so a transient outage doesn't void the bench
+    # (jax caches a failed backend init, so clear it between attempts)
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"backend init failed ({e}); retrying in 60s",
+                  file=sys.stderr)
+            try:
+                from jax._src import xla_bridge as _xb
+                _xb._clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from odr_audioenc_tpu.mp2.model import Mp2Encoder, make_config
     from odr_audioenc_tpu.host.mp2pack import Mp2Packer
