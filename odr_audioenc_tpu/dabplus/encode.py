@@ -31,10 +31,11 @@ REFINE_BANDS = 4      # worst-NMR bands refined per round
 
 TNS_MAX_ORDER = 12      # LC long windows (14496-3 table 4.156)
 TNS_GAIN_THRESH = 1.437  # aacenc_tns.cpp:447 threshOn[HIFILT]=1437 (/1000)
+TNS_LO_ORDER = 5         # aacenc_tns.cpp:451 tnsLimitOrder[LOFILT]=maxOrder-7
 _TNS_IQFAC4 = (8.0 - 0.5) / (np.pi / 2.0)  # 4-bit arcsine quantizer
 
 
-def tns_analysis(spec, start, stop, dtype):
+def tns_analysis(spec, start, stop, dtype, max_order=TNS_MAX_ORDER):
     """Temporal noise shaping analysis over the static line range
     [start, stop) (aacEnc TnsDetect/TnsSync analogue; syntax/inverse per
     libAACdec aacdec_tns.cpp:142-380).
@@ -42,27 +43,26 @@ def tns_analysis(spec, start, stop, dtype):
     Levinson-Durbin on the spectral autocorrelation gives reflection
     coefficients; they are arcsine-quantized at 4-bit resolution (the
     decoder's FDKaacDec_tnsCoeff4 table is sin(idx/iqfac)), stepped up to
-    direct-form a(z), and the filter is enabled when the prediction gain
-    clears the threshold.  Returns (enable [...], order [...],
-    idx [..., 12] int32, a_hat [..., 12])."""
+    direct-form a(z).  Returns (pred_gain, sum_sqr, order [...],
+    idx [..., 12] int32 zero-padded, a_hat [..., 12])."""
     x = spec[..., start:stop]
     L = stop - start
     r = [(x * x).sum(-1)]
-    for k in range(1, TNS_MAX_ORDER + 1):
+    for k in range(1, max_order + 1):
         r.append((x[..., k:] * x[..., :L - k]).sum(-1))
     r = jnp.stack(r, -1)
     # mild Gaussian lag window stabilises the recursion on near-singular
     # autocorrelations (same role as the reference's time-resolution window)
     lag = jnp.asarray(np.exp(-0.5 * (np.pi * 0.01 *
-                                     np.arange(TNS_MAX_ORDER + 1)) ** 2), dtype)
+                                     np.arange(max_order + 1)) ** 2), dtype)
     r = r * lag
     r0 = jnp.maximum(r[..., 0], 1e-30)
 
-    a = jnp.zeros(spec.shape[:-1] + (TNS_MAX_ORDER + 1,), dtype)
+    a = jnp.zeros(spec.shape[:-1] + (max_order + 1,), dtype)
     a = a.at[..., 0].set(1.0)
     err = r0
     ks = []
-    for m in range(1, TNS_MAX_ORDER + 1):
+    for m in range(1, max_order + 1):
         acc = sum(a[..., i] * r[..., m - i] for i in range(m))
         k_m = -acc / jnp.maximum(err, 1e-30)
         k_m = jnp.clip(k_m, -0.999, 0.999)
@@ -74,31 +74,32 @@ def tns_analysis(spec, start, stop, dtype):
         err = err * (1.0 - k_m * k_m)
     pred_gain = r0 / jnp.maximum(err, 1e-30)
 
-    k = jnp.stack(ks, -1)                                   # [..., 12]
+    k = jnp.stack(ks, -1)                                   # [..., max_order]
     idx = jnp.clip(jnp.round(jnp.arcsin(k) * _TNS_IQFAC4), -8, 7).astype(jnp.int32)
     khat = jnp.sin(idx.astype(dtype) / _TNS_IQFAC4)
     # order = index of last non-zero quantized coefficient + 1
     nz = idx != 0
     order = jnp.where(nz.any(-1),
-                      TNS_MAX_ORDER - jnp.argmax(nz[..., ::-1], -1), 0)
-    # fdk enables on prediction gain OR on large quantized-coefficient
-    # energy (aacenc_tns.cpp:869-870: predictionGain > threshOn ||
-    # sumSqrCoef > tnsLimitOrder/2 + 2) - no transient gating
+                      max_order - jnp.argmax(nz[..., ::-1], -1), 0)
     sum_sqr = (idx * idx).sum(-1)
-    enable = ((pred_gain > TNS_GAIN_THRESH)
-              | (sum_sqr > TNS_MAX_ORDER // 2 + 2)) & (order > 0)
-    idx = jnp.where(jnp.arange(TNS_MAX_ORDER) < order[..., None], idx, 0)
+    idx = jnp.where(jnp.arange(max_order) < order[..., None], idx, 0)
 
     # step-up with the QUANTIZED reflection coefficients (what the decoder
-    # inverts) to direct-form a[1..12]
+    # inverts) to direct-form a[1..max_order]
     ah = jnp.zeros_like(a).at[..., 0].set(1.0)
-    for m in range(1, TNS_MAX_ORDER + 1):
+    for m in range(1, max_order + 1):
         k_m = khat[..., m - 1]
         if m > 1:
             flip = jnp.stack([ah[..., m - i] for i in range(1, m)], -1)
             ah = ah.at[..., 1:m].set(ah[..., 1:m] + k_m[..., None] * flip)
         ah = ah.at[..., m].set(k_m)
-    return enable, order.astype(jnp.int32), idx, ah[..., 1:]
+    if max_order < TNS_MAX_ORDER:
+        pad = [(0, 0)] * (idx.ndim - 1) + [(0, TNS_MAX_ORDER - max_order)]
+        idx = jnp.pad(idx, pad)
+        ah = jnp.pad(ah[..., 1:], pad)
+    else:
+        ah = ah[..., 1:]
+    return pred_gain, sum_sqr, order.astype(jnp.int32), idx, ah
 
 
 def tns_filter(spec, a_hat, enable, start, stop):
@@ -752,22 +753,40 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         nlines = jnp.maximum(band_m.sum(-1), 1.0)
 
     # TNS first: the decoder applies MS reconstruction before TNS synthesis,
-    # so the encoder filters L/R before the MS transform
+    # so the encoder filters L/R before the MS transform.  Split-range TNS
+    # like the reference (aacenc_tns.cpp:440-452, 875-935): the HI filter
+    # covers the top 3/4 of the range (order <= 12, threshold 1.437), a
+    # second LO filter the bottom quarter (order <= 5, threshold 1.5 with
+    # fdk's implausibility upper bounds), only when the HI filter runs.
     if tns_cfg is not None:
-        tns_en, tns_order, tns_idx, ah = tns_analysis(
-            spec, tns_cfg["start_line"], tns_cfg["stop_line"], dtype)
+        start, mid, stop = (tns_cfg["start_line"], tns_cfg["mid_line"],
+                            tns_cfg["stop_line"])
+        pg, ss, tns_order, tns_idx, ah = tns_analysis(spec, mid, stop, dtype)
+        tns_en = ((pg > TNS_GAIN_THRESH)
+                  | (ss > TNS_MAX_ORDER // 2 + 2)) & (tns_order > 0)
+        pg_l, ss_l, tns_order_lo, tns_idx_lo, ah_lo = tns_analysis(
+            spec, start, mid, dtype, max_order=TNS_LO_ORDER)
+        tns_en_lo = tns_en & (tns_order_lo > 0) & (
+            ((pg_l > 1.5) & (pg_l < 16.0 * TNS_LO_ORDER))
+            | ((ss_l > 9) & (ss_l < 22 * TNS_LO_ORDER)))
         if is_short is not None:
             # short blocks already confine noise to 5 ms windows; our TNS
             # filter range/syntax is long-window only
             tns_en = tns_en & ~is_short[:, None]
-        spec = tns_filter(spec, ah, tns_en, tns_cfg["start_line"],
-                          tns_cfg["stop_line"])
-        tns_bits = jnp.where(tns_en, 16 + 4 * tns_order, 0)  # [S, ch]
+            tns_en_lo = tns_en_lo & ~is_short[:, None]
+        spec = tns_filter(spec, ah, tns_en, mid, stop)
+        spec = tns_filter(spec, ah_lo, tns_en_lo, start, mid)
+        # tns_data: n_filt 2 + coef_res 1, then per filter 6+5+1+1 + 4/coef
+        tns_bits = jnp.where(tns_en, 16 + 4 * tns_order, 0) \
+            + jnp.where(tns_en_lo, 13 + 4 * tns_order_lo, 0)  # [S, ch]
     else:
         tns_en = jnp.zeros((S, n_ch_s), bool)
         tns_order = jnp.zeros((S, n_ch_s), jnp.int32)
         tns_idx = jnp.zeros((S, n_ch_s, TNS_MAX_ORDER), jnp.int32)
         tns_bits = jnp.zeros((S, n_ch_s), jnp.int32)
+        tns_en_lo = jnp.zeros((S, n_ch_s), bool)
+        tns_order_lo = jnp.zeros((S, n_ch_s), jnp.int32)
+        tns_idx_lo = jnp.zeros((S, n_ch_s, TNS_MAX_ORDER), jnp.int32)
 
     # psy on the L/R domain first (fdk order: energies -> spreading ->
     # thresholds, THEN MS substitution, psy_main.cpp:872-1218)
@@ -1004,4 +1023,5 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             refine, (q, gains, books, bits), None, length=refine_rounds)
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
-                tns_idx=tns_idx, **pre_out)
+                tns_idx=tns_idx, tns_en_lo=tns_en_lo,
+                tns_order_lo=tns_order_lo, tns_idx_lo=tns_idx_lo, **pre_out)

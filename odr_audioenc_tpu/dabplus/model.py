@@ -214,10 +214,24 @@ class DabPlusEncoder:
         start_band = int(np.searchsorted(self.sfb_off, line_min))
         stop_band = min(total_sfb, _TNS_MAX.get(rate, 40), self.max_sfb)
         if stop_band - start_band >= 4:
+            # split-range filters (aacenc_tns.cpp:440-446): the HI filter
+            # starts at the sfb border nearest start + range/4, the LO
+            # filter covers [start, mid)
+            mid_target = (self.sfb_off[start_band]
+                          + (self.sfb_off[stop_band]
+                             - self.sfb_off[start_band]) // 4)
+            mid_band = start_band
+            for b in range(stop_band, start_band, -1):
+                if self.sfb_off[b] <= mid_target:
+                    mid_band = b
+                    break
+            mid_band = max(mid_band, start_band + 1)
             self.tns_cfg = {
                 "start_line": int(self.sfb_off[start_band]),
+                "mid_line": int(self.sfb_off[mid_band]),
                 "stop_line": int(self.sfb_off[stop_band]),
-                "length_code": total_sfb - start_band,
+                "length_code": total_sfb - mid_band,
+                "length_code_lo": mid_band - start_band,
             }
         else:
             self.tns_cfg = None
@@ -422,6 +436,9 @@ class DabPlusEncoder:
                  "tns_en": o["tns_en"],
                  "tns_order": o["tns_order"].astype(jnp.int8),
                  "tns_idx": o["tns_idx"].astype(jnp.int8),
+                 "tns_en_lo": o["tns_en_lo"],
+                 "tns_order_lo": o["tns_order_lo"].astype(jnp.int8),
+                 "tns_idx_lo": o["tns_idx_lo"].astype(jnp.int8),
                  "wseq": o["wseq"].astype(jnp.int8)}
 
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
@@ -483,7 +500,11 @@ class DabPlusEncoder:
                     tns = [(bool(out["tns_en"][s, a, c]),
                             int(out["tns_order"][s, a, c]),
                             out["tns_idx"][s, a, c],
-                            self.tns_cfg["length_code"])
+                            self.tns_cfg["length_code"],
+                            bool(out["tns_en_lo"][s, a, c]),
+                            int(out["tns_order_lo"][s, a, c]),
+                            out["tns_idx_lo"][s, a, c],
+                            self.tns_cfg["length_code_lo"])
                            for c in range(self.core_channels)]
                 bw = write_au(out["q"][s, a], out["gains"][s, a],
                               out["books"][s, a], self.max_sfb,

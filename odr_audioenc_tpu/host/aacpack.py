@@ -73,11 +73,15 @@ def _write_spectrum(bw, q, book, lo, hi):
                     bw.put((((1 << (n - 3)) - 2) << n) | (a - (1 << n)), 2 * n - 3)
 
 
-def _write_tns_data(bw, order, coefs, length_code):
-    """tns_data(), long window, one filter (14496-3; parsed by the reference
-    decoder at aacdec_tns.cpp:142-240): n_filt=1, coef_res=1 (4-bit),
-    forward direction, no compression."""
-    bw.put(1, 2)                 # n_filt
+def _write_tns_data(bw, order, coefs, length_code,
+                    order_lo=0, coefs_lo=None, length_code_lo=0):
+    """tns_data(), long window, one or two filters (14496-3; parsed by the
+    reference decoder at aacdec_tns.cpp:142-240): coef_res=1 (4-bit),
+    forward direction, no compression.  Filter 0 covers the TOP
+    `length_code` bands, the optional LO filter the next `length_code_lo`
+    below (fdk's HIFILT/LOFILT split, aacenc_tns.cpp:440-452)."""
+    n_filt = 2 if order_lo > 0 else 1
+    bw.put(n_filt, 2)            # n_filt
     bw.put(1, 1)                 # coef_res -> resolution 4
     bw.put(length_code, 6)       # length (bands, from the top)
     bw.put(order, 5)             # order
@@ -85,6 +89,13 @@ def _write_tns_data(bw, order, coefs, length_code):
     bw.put(0, 1)                 # coef_compress
     for i in range(order):
         bw.put(int(coefs[i]) & 0xF, 4)
+    if n_filt == 2:
+        bw.put(length_code_lo, 6)
+        bw.put(order_lo, 5)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        for i in range(order_lo):
+            bw.put(int(coefs_lo[i]) & 0xF, 4)
 
 
 def _short_bands(short_info):
@@ -152,7 +163,12 @@ def _write_ics(bw, q, gains, books, max_sfb, sfb_off, include_info, tns=None,
     bw.put(0, 1)  # pulse_data_present
     if tns is not None and tns[0]:
         bw.put(1, 1)  # tns_data_present
-        _write_tns_data(bw, tns[1], tns[2], tns[3])
+        if len(tns) > 4 and tns[4]:
+            _write_tns_data(bw, tns[1], tns[2], tns[3],
+                            order_lo=tns[5], coefs_lo=tns[6],
+                            length_code_lo=tns[7])
+        else:
+            _write_tns_data(bw, tns[1], tns[2], tns[3])
     else:
         bw.put(0, 1)  # tns_data_present
     bw.put(0, 1)  # gain_control_data_present

@@ -122,6 +122,13 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
     tns_order = np.ascontiguousarray(out_np["tns_order"], np.int32)
     tns_idx = np.ascontiguousarray(out_np["tns_idx"], np.int32)
     tlc = enc.tns_cfg["length_code"] if enc.tns_cfg else 0
+    tns_en_lo = np.ascontiguousarray(out_np["tns_en_lo"], np.uint8) \
+        if "tns_en_lo" in out_np else None
+    tns_order_lo = np.ascontiguousarray(out_np["tns_order_lo"], np.int32) \
+        if "tns_order_lo" in out_np else None
+    tns_idx_lo = np.ascontiguousarray(out_np["tns_idx_lo"], np.int32) \
+        if "tns_idx_lo" in out_np else None
+    tlc_lo = enc.tns_cfg.get("length_code_lo", 0) if enc.tns_cfg else 0
     sfb_off = np.ascontiguousarray(enc.sfb_off, np.int32)
     wseq = np.ascontiguousarray(out_np["wseq"], np.int32) \
         if "wseq" in out_np else None
@@ -198,6 +205,10 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         _p(ms, ctypes.c_uint8) if ms is not None else None,
         _p(tns_en, ctypes.c_uint8), _p(tns_order, ctypes.c_int32),
         _p(tns_idx, ctypes.c_int32), ctypes.c_int(tlc),
+        _p(tns_en_lo, ctypes.c_uint8) if tns_en_lo is not None else None,
+        _p(tns_order_lo, ctypes.c_int32) if tns_order_lo is not None else None,
+        _p(tns_idx_lo, ctypes.c_int32) if tns_idx_lo is not None else None,
+        ctypes.c_int(tlc_lo),
         env_p, env2_p, trans_p, nq_p, invf_p, addh_p, tgrid_p,
         iid_p, iidf_p, psf_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
         _p(sbrp, ctypes.c_int32), _p(sfp, ctypes.c_int32),

@@ -166,14 +166,26 @@ void write_spectrum(BitWr &bw, const int32_t *q, int book, int lo, int hi) {
 }
 
 void write_tns_data(BitWr &bw, int order, const int32_t *coefs,
-                    int length_code) {
-  bw.put(1, 2);
+                    int length_code, int order_lo = 0,
+                    const int32_t *coefs_lo = nullptr,
+                    int length_code_lo = 0) {
+  /* one or two filters: filter 0 covers the TOP length_code bands, the
+   * optional LO filter the next length_code_lo below (fdk HIFILT/LOFILT
+   * split, aacenc_tns.cpp:440-452) */
+  bw.put(order_lo > 0 ? 2 : 1, 2);
   bw.put(1, 1);
   bw.put(length_code, 6);
   bw.put(order, 5);
   bw.put(0, 1);
   bw.put(0, 1);
   for (int i = 0; i < order; ++i) bw.put(uint32_t(coefs[i]) & 0xF, 4);
+  if (order_lo > 0) {
+    bw.put(length_code_lo, 6);
+    bw.put(order_lo, 5);
+    bw.put(0, 1);
+    bw.put(0, 1);
+    for (int i = 0; i < order_lo; ++i) bw.put(uint32_t(coefs_lo[i]) & 0xF, 4);
+  }
 }
 
 /* wseq: 0 LONG / 1 START / 2 EIGHT_SHORT / 3 STOP.  Short blocks use the
@@ -198,7 +210,9 @@ void write_ics(BitWr &bw, const int32_t *q, const int32_t *gains,
                const int32_t *books, int max_sfb, const int32_t *sfb_off,
                bool include_info, bool tns_on, int tns_order,
                const int32_t *tns_coefs, int tns_length_code,
-               int wseq, const int32_t *sfb_off_s, int nsfb_s, int max_sfb_s) {
+               int wseq, const int32_t *sfb_off_s, int nsfb_s, int max_sfb_s,
+               int tns_order_lo = 0, const int32_t *tns_coefs_lo = nullptr,
+               int tns_length_code_lo = 0) {
   const bool is_short = (wseq == 2);
   int first_nz = -1;
   if (is_short) {
@@ -275,7 +289,8 @@ void write_ics(BitWr &bw, const int32_t *q, const int32_t *gains,
   bw.put(0, 1);
   if (tns_on && !is_short) {
     bw.put(1, 1);
-    write_tns_data(bw, tns_order, tns_coefs, tns_length_code);
+    write_tns_data(bw, tns_order, tns_coefs, tns_length_code,
+                   tns_order_lo, tns_coefs_lo, tns_length_code_lo);
   } else {
     bw.put(0, 1);
   }
@@ -570,6 +585,10 @@ int dabplus_pack_batch(
     const int32_t *tns_order,    /* [S,nau,ch] */
     const int32_t *tns_idx,      /* [S,nau,ch,12] */
     int tns_length_code,
+    const uint8_t *tns_en_lo,    /* [S,nau,ch] or NULL */
+    const int32_t *tns_order_lo, /* [S,nau,ch] or NULL */
+    const int32_t *tns_idx_lo,   /* [S,nau,ch,12] or NULL */
+    int tns_length_code_lo,
     const int32_t *sbr_env,      /* [S,nau,env_ch,n_lo] or NULL */
     const int32_t *sbr_env2,     /* [S,nau,env_ch,2,n_lo] or NULL */
     const uint8_t *sbr_trans,    /* [S,nau,env_ch] or NULL */
@@ -625,13 +644,21 @@ int dabplus_pack_batch(
       const uint8_t *te = tns_en ? tns_en + (size_t(s) * nau + a) * ch : nullptr;
       const int32_t *to = tns_order + (size_t(s) * nau + a) * ch;
       const int32_t *ti = tns_idx + ((size_t(s) * nau + a) * ch) * 12;
+      const uint8_t *tel = tns_en_lo
+          ? tns_en_lo + (size_t(s) * nau + a) * ch : nullptr;
+      const int32_t *tol = tns_order_lo
+          ? tns_order_lo + (size_t(s) * nau + a) * ch : nullptr;
+      const int32_t *til = tns_idx_lo
+          ? tns_idx_lo + ((size_t(s) * nau + a) * ch) * 12 : nullptr;
       const int wq = wseq ? wseq[size_t(s) * nau + a] : 0;
       if (ch == 1) {
         bw.put(0, 3);
         bw.put(0, 4);
         write_ics(bw, Q, G, B, max_sfb, sfb_off, true,
                   te && te[0], to ? to[0] : 0, ti, tns_length_code,
-                  wq, sfb_off_s, nsfb_s, max_sfb_s);
+                  wq, sfb_off_s, nsfb_s, max_sfb_s,
+                  (tel && tel[0] && tol) ? tol[0] : 0, til,
+                  tns_length_code_lo);
       } else {
         const uint8_t *MS = ms_used ? ms_used + (size_t(s) * nau + a) * nb
                                     : nullptr;
@@ -650,7 +677,9 @@ int dabplus_pack_batch(
         for (int c = 0; c < 2; ++c)
           write_ics(bw, Q + c * 960, G + c * nb, B + c * nb, max_sfb, sfb_off,
                     false, te && te[c], to ? to[c] : 0, ti + c * 12,
-                    tns_length_code, wq, sfb_off_s, nsfb_s, max_sfb_s);
+                    tns_length_code, wq, sfb_off_s, nsfb_s, max_sfb_s,
+                    (tel && tel[c] && tol) ? tol[c] : 0,
+                    til ? til + c * 12 : nullptr, tns_length_code_lo);
       }
       if (pads && pad_len) {
         int pl = pad_len[size_t(s) * nau + a];
