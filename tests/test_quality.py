@@ -30,9 +30,9 @@ def _corpus(seconds=12):
 
 # (rate, subch, ch, aot, max NMR delta dB vs reference) - ratchet margins
 POINTS = [
-    (48000, 12, 2, "lc", 10.0),   # achieved +8.9
-    (48000, 6, 1, "sbr", 5.5),    # achieved +4.3
-    (48000, 4, 2, "ps", 0.5),     # achieved -1.8 (beats the reference)
+    (48000, 12, 2, "lc", 8.5),    # achieved +7.1
+    (48000, 6, 1, "sbr", 5.0),    # achieved +3.9
+    (48000, 4, 2, "ps", 0.0),     # achieved -2.0 (beats the reference)
 ]
 
 

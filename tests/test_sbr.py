@@ -137,3 +137,26 @@ def test_sbr_transient_multi_envelope():
     # other, the bound only guards against gross scale errors
     ratio = pcm[5760:].std() / ref[5760:].std()
     assert 0.3 < ratio < 8.0, f"level ratio {ratio:.2f}"
+
+
+def test_sbr_32khz_loopback():
+    """32 kHz input (dac_rate=0): 2 AUs/superframe, fs_out 32k header rows
+    and band tables; decoder reconstructs at the right level."""
+    from signals import music_like
+    sig = music_like(20, rate=32000)[:1]
+    cfg = DabPlusConfig(32000, 6, 1, aot="sbr")
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    dec = fdk_ref.FdkDecoder()
+    spf = cfg.num_aus * cfg.au_samples
+    pcm = []
+    for i in range(3):
+        state, fr = enc.encode_superframes(
+            state, sig[None, :, i * spf:(i + 1) * spf], add_rs=True)
+        assert superframe_check_rs(np.frombuffer(fr[0], np.uint8))
+        core = fr[0][:110 * cfg.subch]
+        assert not core[2] & 0x40 and core[2] & 0x20  # dac_rate=0, sbr=1
+        pcm.append(dec.decode_superframe(core))
+    pcm = np.concatenate(pcm, axis=1)
+    ratio = pcm[:, spf:].astype(float).std() / sig[:, spf:2 * spf].astype(float).std()
+    assert 0.6 < ratio < 1.5, f"level ratio {ratio:.2f}"
