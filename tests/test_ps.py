@@ -75,3 +75,25 @@ def test_ps_fine_iid_wide_image():
     m = b.shape[1] - lag
     orr = 20 * np.log10(b[0, lag:lag + m].std() / max(b[1, lag:lag + m].std(), 1e-9))
     assert orr > 27.0, f"decoded image only {orr:.1f} dB (coarse grid caps ~25)"
+
+
+def test_ps_32khz_loopback():
+    """32 kHz HE-AAC v2: dac_rate=0 + ps header flags, 2 AUs/superframe,
+    decoder reconstructs stereo at the right level."""
+    sig = music_like(20, rate=32000, stereo=True)
+    cfg = DabPlusConfig(32000, 4, 2, aot="ps")
+    enc = DabPlusEncoder(cfg, 1)
+    state = enc.init_state()
+    dec = fdk_ref.FdkDecoder()
+    spf = cfg.num_aus * cfg.au_samples
+    pcm = []
+    for i in range(3):
+        state, fr = enc.encode_superframes(
+            state, sig[None, :, i * spf:(i + 1) * spf], add_rs=True)
+        core = fr[0][:110 * cfg.subch]
+        assert not core[2] & 0x40 and core[2] & 0x20 and core[2] & 0x08
+        pcm.append(dec.decode_superframe(core))
+    pcm = np.concatenate(pcm, axis=1)
+    assert pcm.shape[0] == 2
+    ratio = pcm[:, spf:].astype(float).std() / sig[:, spf:2 * spf].astype(float).std()
+    assert 0.6 < ratio < 1.5, f"level ratio {ratio:.2f}"
