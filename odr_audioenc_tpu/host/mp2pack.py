@@ -41,7 +41,7 @@ class Mp2Packer:
         bit_alloc = out["bit_alloc"][i]
         scfsi = out["scfsi"][i]
         sf = out["sf_index"][i]
-        sbband = out["sbband"][i]
+        sbband = out["sbband"][i] if "sbband" in out else None
         line_row = T.LINE[int(cfg.tablenum[i])]
         nbal_row = np.where(line_row >= 0, T.NBAL[np.maximum(line_row, 0)], 0)
 
@@ -92,25 +92,34 @@ class Mp2Packer:
                     else:
                         bw.put(int(sf[ch, 0, sb]), 6)
 
-        # samples (write_samples_new, encode_new.c:560-598)
-        step_index = T.STEP_INDEX
-        for gr in range(3):
-            for j in (0, 3, 6, 9):
-                for sb in range(sblimit):
-                    for ch in range(nch if sb < jsbound else 1):
-                        ba = int(bit_alloc[ch, sb])
-                        if ba:
-                            sidx = int(step_index[line_row[sb]][ba])
-                            nbits = int(T.BITS[sidx])
-                            if T.GROUP[sidx] == 3:
-                                for x in range(3):
-                                    bw.put(int(sbband[ch, gr, j + x, sb]), nbits)
-                            else:
-                                y = int(T.STEPS[sidx])
-                                v = (int(sbband[ch, gr, j, sb])
-                                     + int(sbband[ch, gr, j + 1, sb]) * y
-                                     + int(sbband[ch, gr, j + 2, sb]) * y * y)
-                                bw.put(v, nbits)
+        # samples (write_samples_new, encode_new.c:560-598); when the device
+        # step already serialized them (mp2/binpack.py), splice the payload
+        if "payload" in out:
+            pay = out["payload"][i]
+            pbits = int(out["payload_bits"][i])
+            for k in range(pbits // 8):
+                bw.put(int(pay[k]), 8)
+            if pbits % 8:
+                bw.put(int(pay[pbits // 8]) >> (8 - pbits % 8), pbits % 8)
+        else:
+            step_index = T.STEP_INDEX
+            for gr in range(3):
+                for j in (0, 3, 6, 9):
+                    for sb in range(sblimit):
+                        for ch in range(nch if sb < jsbound else 1):
+                            ba = int(bit_alloc[ch, sb])
+                            if ba:
+                                sidx = int(step_index[line_row[sb]][ba])
+                                nbits = int(T.BITS[sidx])
+                                if T.GROUP[sidx] == 3:
+                                    for x in range(3):
+                                        bw.put(int(sbband[ch, gr, j + x, sb]), nbits)
+                                else:
+                                    y = int(T.STEPS[sidx])
+                                    v = (int(sbband[ch, gr, j, sb])
+                                         + int(sbband[ch, gr, j + 1, sb]) * y
+                                         + int(sbband[ch, gr, j + 2, sb]) * y * y)
+                                    bw.put(v, nbits)
 
         # zero-stuff leftover audio bits (toolame.c:510-512)
         left = int(out["adb_left"][i])

@@ -56,7 +56,18 @@ def mp2_pack_batch(cfg_cols, out_np, xpads, max_frame):
     ba = np.ascontiguousarray(out_np["bit_alloc"], np.uint8)
     sc = np.ascontiguousarray(out_np["scfsi"], np.uint8)
     sf = np.ascontiguousarray(out_np["sf_index"], np.uint8)
-    sb = np.ascontiguousarray(out_np["sbband"], np.uint32)
+    if "payload" in out_np:
+        # device-packed sample section: sbband is not transferred at all
+        sb = np.zeros(1, np.uint32)
+        pay = np.ascontiguousarray(out_np["payload"], np.uint8)
+        pbits = np.ascontiguousarray(out_np["payload_bits"], np.int32)
+        pay_p = _p(pay, ctypes.c_uint8)
+        pbits_p = _p(pbits, ctypes.c_int32)
+        pay_stride = pay.shape[1]
+    else:
+        sb = np.ascontiguousarray(out_np["sbband"], np.uint32)
+        pay_p = pbits_p = None
+        pay_stride = 0
     mode = np.ascontiguousarray(out_np["mode"], np.int32)
     mext = np.ascontiguousarray(out_np["mode_ext"], np.int32)
     jsb = np.ascontiguousarray(out_np["jsbound"], np.int32)
@@ -94,7 +105,8 @@ def mp2_pack_batch(cfg_cols, out_np, xpads, max_frame):
         xb_p, xl_p, ctypes.c_int(stride),
         _p(out, ctypes.c_uint8), ctypes.c_int(max_frame),
         _p(out_len, ctypes.c_int32), _p(scf_off, ctypes.c_int32),
-        _p(scf_vals, ctypes.c_uint8))
+        _p(scf_vals, ctypes.c_uint8),
+        pay_p, pbits_p, ctypes.c_int(pay_stride))
     if rc != 0:
         raise RuntimeError("native mp2_pack_batch failed (budget overrun or "
                            "frame length mismatch)")

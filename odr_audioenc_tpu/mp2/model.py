@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables as T
-from . import allocate, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3, psycho4, psycho_n1
+from . import allocate, binpack, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3, psycho4, psycho_n1
 
 MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 _MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
@@ -102,13 +102,18 @@ class Mp2Encoder:
     """Stream-batched MP2 encoder.  One instance per (batch of) streams."""
 
     def __init__(self, config: Mp2Config, psy_model=1, dtype=jnp.float64,
-                 fast_psy=None):
+                 fast_psy=None, pack_on_device=False):
         """fast_psy: use the fully-vectorised psy-1 (psycho1_fast) instead of
         the bit-exact masked-scan version; defaults to True for f32 (the TPU
-        throughput path) and False for f64 (the validation path)."""
+        throughput path) and False for f64 (the validation path).
+        pack_on_device: serialize the sample section on device
+        (mp2/binpack.py) and transfer the ~frame-sized payload instead of the
+        raw [2,3,12,32] u16 codewords (~12x less device->host traffic)."""
         self.cfg = config
         self.psy_model = psy_model
         self.dtype = dtype
+        self.pack_on_device = pack_on_device
+        self.payload_bytes = int(np.max(config.lg_frame)) + 4
         if fast_psy is None:
             fast_psy = jnp.dtype(dtype) != jnp.float64
         self.fast_psy = fast_psy
@@ -277,15 +282,22 @@ class Mp2Encoder:
             "sf_index": sf_adj.astype(jnp.uint8),
             "scfsi": scfsi.astype(jnp.uint8),
             "bit_alloc": bit_alloc.astype(jnp.uint8),
-            # uint16 halves the device->host traffic (quantized mantissas
-            # are at most 16 bits); the host widens before the native call
-            "sbband": sbband.astype(jnp.uint16),
             "mode": mode_final.astype(jnp.int32),
             "mode_ext": mode_ext.astype(jnp.int32),
             "jsbound": jsbound.astype(jnp.int32),
             "adb_left": adb_left.astype(jnp.int32),
             "smr": smr,
         }
+        if self.pack_on_device:
+            payload, payload_bits = binpack.pack_payload(
+                sbband, bit_alloc, ft, sblimit, nch, jsbound,
+                self.payload_bytes)
+            out["payload"] = payload
+            out["payload_bits"] = payload_bits
+        else:
+            # uint16 halves the device->host traffic (quantized mantissas
+            # are at most 16 bits); the host widens before the native call
+            out["sbband"] = sbband.astype(jnp.uint16)
         if extra_slots is not None:
             out["extra"] = extra_slots.astype(jnp.int32)
         new_state = {"hist": hist}

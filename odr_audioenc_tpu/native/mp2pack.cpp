@@ -81,7 +81,11 @@ int mp2_pack_batch(
     int out_stride,
     int32_t *out_len,           /* [S] */
     int32_t *scf_off,           /* [S] */
-    uint8_t *scf_vals)          /* [S, 4] */
+    uint8_t *scf_vals,          /* [S, 4] */
+    const uint8_t *payload,     /* [S, payload_stride] device-packed sample
+                                   section (mp2/binpack.py) or NULL */
+    const int32_t *payload_bits,/* [S] used bit counts (with payload) */
+    int payload_stride)
 {
   int bad = 0;
 #pragma omp parallel for schedule(static)
@@ -159,7 +163,33 @@ int mp2_pack_batch(
         }
       }
 
-    /* samples (write_samples_new, encode_new.c:560-598) */
+    /* samples (write_samples_new, encode_new.c:560-598).  With a device-
+     * packed payload, splice its bits at the current position: the output
+     * buffer is zero-initialised and only bits < bitpos are set, so a
+     * shifted OR is exact. */
+    if (payload) {
+      const uint8_t *p = payload + size_t(s) * payload_stride;
+      const int nbits = payload_bits[s];
+      uint8_t *dst = out + size_t(s) * out_stride;
+      const int sh = int(bw.bitpos & 7);
+      const size_t byte = bw.bitpos >> 3;
+      const int full = nbits >> 3;
+      if (sh == 0) {
+        for (int k = 0; k < full; ++k) dst[byte + k] |= p[k];
+      } else {
+        for (int k = 0; k < full; ++k) {
+          dst[byte + k] |= uint8_t(p[k] >> sh);
+          dst[byte + k + 1] |= uint8_t(p[k] << (8 - sh));
+        }
+      }
+      const int rem = nbits & 7;
+      if (rem) {
+        uint8_t last = uint8_t(p[full] & uint8_t(0xFFu << (8 - rem)));
+        dst[byte + full] |= uint8_t(last >> sh);
+        if (sh + rem > 8) dst[byte + full + 1] |= uint8_t(last << (8 - sh));
+      }
+      bw.bitpos += size_t(nbits);
+    } else
     for (int gr = 0; gr < 3; ++gr)
       for (int j = 0; j < 12; j += 3)
         for (int sb = 0; sb < sblimit; ++sb)
