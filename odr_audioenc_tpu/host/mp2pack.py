@@ -198,12 +198,41 @@ class Mp2Packer:
                  list(vals[i, :int(dab_ext[i])]))
                 for i in range(self.cfg.n_streams)]
 
+    def _emit_device_frames(self, out):
+        """Fast path for device-packed complete frames (mp2/framepack.py):
+        patch the previous frame's ScF-CRC bytes and slice lengths."""
+        cfg = self.cfg
+        frames = out["frame"]
+        scf_vals = out["scf_vals"]
+        extra = out.get("extra")
+        emitted = []
+        for i in range(cfg.n_streams):
+            dab_ext = int(cfg.dab_ext[i])
+            lg = int(cfg.lg_frame[i]) + (int(extra[i]) if extra is not None
+                                         else 0)
+            frame = bytearray(frames[i, :lg].tobytes())
+            scf_off = lg - 2 - dab_ext
+            # emission order matches _pack_one: crc[dab_ext-1] first
+            vals = [int(v) for v in scf_vals[i, :dab_ext][::-1]]
+            prev = self._pending[i]
+            if prev is None:
+                emitted.append(b"")
+            else:
+                pframe, poff, _ = prev
+                for k, v in enumerate(vals):
+                    pframe[poff + k] = v
+                emitted.append(bytes(pframe))
+            self._pending[i] = (frame, scf_off, vals)
+        return emitted
+
     def emit(self, out, xpads=None, use_native=True):
         """out: device outputs as numpy (dict of [S, ...] arrays).
         xpads: optional list of per-stream xpad byte buffers (length
         dab_length each) or None.  Returns list of per-stream bytes emitted
         for this call (the previous frame, patched)."""
         S = self.cfg.n_streams
+        if "frame" in out:
+            return self._emit_device_frames(out)
         packed = self._pack_all_native(out, xpads) if use_native else None
         emitted = []
         for i in range(S):

@@ -1,35 +1,29 @@
-"""Device-side MP2 sample-section bitstream packing.
+"""Device-side MP2 sample-section slot construction.
 
-The subband codewords dominate the device->host transfer (sbband u16 is
-[S,2,3,12,32] = 4.6 KB/stream, ~12x the real payload: a 128 kbps DAB frame
-is 384 bytes total).  This module serializes the sample section (the exact
-write_samples_new order, libtoolame-dab encode_new.c:560-598 - granule,
-3-sample step, subband, channel) ON DEVICE into [S, n_bytes] uint8 plus a
-per-stream bit count; the host packer then splices those bits after the
-header/alloc/scfsi/scf section it still writes itself (tiny, ~60 bytes).
-
-TPU shape: every slot of a static [S, 3, 4, 32, 2, 3] grid carries a
-(width, value) pair computed with one-hot table selects; bit offsets are an
-exclusive cumsum in serialization order; each codeword (width <= 16) lands
-in <= 3 output bytes via a batched scatter-add (contributions of distinct
-codewords never overlap within a byte, so integer add == bitwise or).
+Serializes the sample section in the exact write_samples_new order
+(libtoolame-dab encode_new.c:560-598 - granule, 3-sample step, subband,
+channel) as a static [S, 3, 4, 32, 2, 3] grid of (width, value) slots:
+grouped allocations combine their triplet into one codeword in slot x=0;
+individual allocations emit three codewords.  Packing itself rides the
+one-hot-matmul scatter in bitpack.py (XLA scatter is ~150M updates/s on
+the target TPU - far too slow; see tools/prof_pack.py).
 """
-import jax
 import jax.numpy as jnp
 
+from .. import bitpack as BP
 from .. import tables as T
 from .allocate import _onehot_lut, _onehot_sel
 
 SBLIMIT = 32
+SAMPLE_SPANS = 3  # sample codewords are <= 16 bits -> at most 3 bytes
 
 
-def pack_payload(sbband, bit_alloc, ft, sblimit, nch, jsbound, n_bytes):
-    """Serialize the sample section on device.
+def sample_slots(sbband, bit_alloc, ft, sblimit, nch, jsbound):
+    """(widths, values) [S, K=2304] int32 in serialization order.
 
     sbband: [S,2,3,12,32] int32 codewords (quantize() output);
     bit_alloc: [S,2,32] int32; ft: allocate._frame_tables dict;
-    sblimit/nch/jsbound: [S] int32; n_bytes: static output width.
-    Returns (payload [S, n_bytes] uint8, nbits [S] int32)."""
+    sblimit/nch/jsbound: [S] int32."""
     S = sbband.shape[0]
 
     si = _onehot_sel(ft["step_idx"][:, None], bit_alloc)      # [S,2,32]
@@ -65,28 +59,14 @@ def pack_payload(sbband, bit_alloc, ft, sblimit, nch, jsbound, n_bytes):
                     jnp.where(ind_g[..., None], v, 0))
 
     K = 3 * 4 * SBLIMIT * 2 * 3
-    w = w.reshape(S, K)
-    val = val.reshape(S, K)
-    end = jnp.cumsum(w, axis=1)                               # inclusive
-    start = end - w
-    total_bits = end[:, -1]
+    return w.reshape(S, K), val.reshape(S, K)
 
-    b0 = start >> 3
-    last_b = (end - 1) >> 3
-    outs = []
-    idxs = []
-    for t in range(3):
-        bt = b0 + t
-        sh = end - 8 * (bt + 1)
-        contrib = jnp.where(sh >= 0,
-                            (val >> jnp.maximum(sh, 0)) & 0xFF,
-                            (val << jnp.minimum(-sh, 8)) & 0xFF)
-        ok = (w > 0) & (bt <= last_b)
-        outs.append(jnp.where(ok, contrib, 0))
-        idxs.append(jnp.clip(bt, 0, n_bytes - 1))
-    contrib = jnp.concatenate(outs, axis=1)
-    idx = jnp.concatenate(idxs, axis=1)
 
-    payload = jnp.zeros((S, n_bytes), jnp.int32)
-    payload = payload.at[jnp.arange(S)[:, None], idx].add(contrib)
+def pack_payload(sbband, bit_alloc, ft, sblimit, nch, jsbound, n_bytes):
+    """Serialize the sample section on device -> (payload [S, n_bytes]
+    uint8, nbits [S] int32).  The host packer splices these bits after the
+    header/alloc/scfsi/scf section (see host/mp2pack.py); framepack.py
+    emits the complete frame instead."""
+    w, val = sample_slots(sbband, bit_alloc, ft, sblimit, nch, jsbound)
+    payload, total_bits = BP.pack_groups([(w, val, SAMPLE_SPANS)], n_bytes)
     return payload.astype(jnp.uint8), total_bits.astype(jnp.int32)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables as T
-from . import allocate, binpack, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3, psycho4, psycho_n1
+from . import allocate, binpack, framepack, polyphase, psycho0, psycho1, psycho1_fast, psycho2, psycho3, psycho4, psycho_n1
 
 MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 _MODE_OF = {"s": MODE_STEREO, "j": MODE_JOINT, "d": MODE_DUAL, "m": MODE_MONO}
@@ -106,14 +106,18 @@ class Mp2Encoder:
         """fast_psy: use the fully-vectorised psy-1 (psycho1_fast) instead of
         the bit-exact masked-scan version; defaults to True for f32 (the TPU
         throughput path) and False for f64 (the validation path).
-        pack_on_device: serialize the sample section on device
-        (mp2/binpack.py) and transfer the ~frame-sized payload instead of the
-        raw [2,3,12,32] u16 codewords (~12x less device->host traffic)."""
+        pack_on_device: True serializes the sample section on device
+        (mp2/binpack.py, host splices it after the side info); "frame"
+        emits the COMPLETE frame bytes on device (mp2/framepack.py) so the
+        host only patches the ScF-CRC back-bytes - the TPU-first hot path
+        (device->host transfer shrinks to ~lg_frame bytes/stream)."""
         self.cfg = config
         self.psy_model = psy_model
         self.dtype = dtype
         self.pack_on_device = pack_on_device
         self.payload_bytes = int(np.max(config.lg_frame)) + 4
+        self.frame_bytes = int(np.max(config.lg_frame)) + 1
+        self.pad_max = int(np.max(config.dab_length))
         if fast_psy is None:
             fast_psy = jnp.dtype(dtype) != jnp.float64
         self.fast_psy = fast_psy
@@ -158,6 +162,11 @@ class Mp2Encoder:
         self._dev = {k: jnp.asarray(getattr(config, k)) for k in
                      ["sblimit", "nch", "mode", "dab_ext", "adb_full",
                       "tablenum", "low_rate", "version"]}
+        if pack_on_device == "frame":
+            self._dev.update(
+                {k: jnp.asarray(getattr(config, k)) for k in
+                 ["bitrate_idx", "sfreq_idx", "lg_frame", "dab_length"]},
+                nbal=jnp.asarray(framepack.nbal_rows(config)))
         self._step = jax.jit(partial(self._encode_step))
         # 44.1k-family padding-slot lag, advanced host-side in f64 exactly as
         # the reference's static struct (availbits.c:27-62)
@@ -203,9 +212,11 @@ class Mp2Encoder:
                                 self.pad_lag)
         return extra
 
-    def _encode_step(self, state, pcm, xpad_len, extra_slots=None):
+    def _encode_step(self, state, pcm, xpad_len, extra_slots=None,
+                     xpad_buf=None):
         """pcm: [S, 2, 1152] int16; xpad_len: [S] int32; extra_slots: [S]
-        padding slots this frame (44.1k family; None = no padding).
+        padding slots this frame (44.1k family; None = no padding);
+        xpad_buf: [S, pad_max] int32 X-PAD bytes (frame mode only).
         Returns (state', outputs) - see pack.py for the consumer."""
         cfg = self._dev
         dtype = self.dtype
@@ -278,6 +289,29 @@ class Mp2Encoder:
         sbband = allocate.quantize(sf_adj, sb_sample, j_scale, j_sample,
                                    bit_alloc, ft, sblimit, nch, jsbound, dtype)
 
+        if self.pack_on_device == "frame":
+            # complete frames on device; only the tiny frame/scf_vals
+            # arrays cross to the host (framepack.py)
+            fr_in = {"sf_index": sf_adj.astype(jnp.int32),
+                     "scfsi": scfsi.astype(jnp.int32),
+                     "bit_alloc": bit_alloc.astype(jnp.int32),
+                     "mode": mode_final.astype(jnp.int32),
+                     "mode_ext": mode_ext.astype(jnp.int32),
+                     "jsbound": jsbound.astype(jnp.int32)}
+            if extra_slots is not None:
+                fr_in["extra"] = extra_slots.astype(jnp.int32)
+            frame, scf_vals = framepack.pack_full_frame(
+                self._dev, fr_in, sbband, ft, xpad_len, xpad_buf,
+                self.frame_bytes)
+            out = {"frame": frame, "scf_vals": scf_vals,
+                   "mode": mode_final.astype(jnp.int32)}
+            if extra_slots is not None:
+                out["extra"] = extra_slots.astype(jnp.int32)
+            new_state = {"hist": hist}
+            if self.psy_model in (2, 4):
+                new_state["psy2"] = psy2_state
+            return new_state, out
+
         out = {
             "sf_index": sf_adj.astype(jnp.uint8),
             "scfsi": scfsi.astype(jnp.uint8),
@@ -305,11 +339,14 @@ class Mp2Encoder:
             new_state["psy2"] = psy2_state
         return new_state, out
 
-    def encode_step(self, state, pcm, xpad_len=None):
+    def encode_step(self, state, pcm, xpad_len=None, xpad_buf=None):
         S = self.cfg.n_streams
         if xpad_len is None:
             xpad_len = jnp.zeros((S,), jnp.int32)
         extra = None
         if (self.cfg.slots_frac != 0).any():
             extra = jnp.asarray(self.next_padding())
-        return self._step(state, jnp.asarray(pcm), jnp.asarray(xpad_len), extra)
+        if xpad_buf is not None:
+            xpad_buf = jnp.asarray(xpad_buf, jnp.int32)
+        return self._step(state, jnp.asarray(pcm), jnp.asarray(xpad_len),
+                          extra, xpad_buf)
