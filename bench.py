@@ -80,9 +80,11 @@ def main():
     rng = np.random.default_rng(0)
     rates = {}
 
-    # --- config 1: MP2 @128k stereo, full path (pack runs on host) ---
+    # --- config 1: MP2 @128k stereo, full path (complete frames emitted on
+    # device, host only patches the ScF-CRC back-bytes - mp2/framepack.py) ---
     cfg = make_config([{"rate": 48000, "bitrate": 128, "mode": "j"}] * S)
-    enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32)
+    enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32,
+                     pack_on_device="frame")
     packer = Mp2Packer(cfg)
     pcm = jnp.asarray(rng.integers(-16000, 16000, (S, 2, 1152)), jnp.int16)
     xpad = jnp.zeros((S,), jnp.int32)
@@ -100,13 +102,14 @@ def main():
     rates["mp2_128"] = _full_path_throughput(
         mp2_dispatch, mp2_drain, 1152 / 48000.0, S, iters)
 
-    # --- configs 2-4: DAB+ full path (native pack + RS on host) ---
+    # --- configs 2-4: DAB+ full path (AU syntax + superframe + RS packed on
+    # device, dabplus/aupack.py; host only slices rows) ---
     for name, kw, ch in (("lc_96", dict(aot="lc"), 2),
                          ("sbr_48", dict(aot="sbr"), 1),
                          ("ps_32", dict(aot="ps"), 2)):
         subch = {"lc_96": 12, "sbr_48": 6, "ps_32": 4}[name]
         dcfg = DabPlusConfig(48000, subch, ch, **kw)
-        denc = DabPlusEncoder(dcfg, n_streams=S)
+        denc = DabPlusEncoder(dcfg, n_streams=S, pack_on_device=True)
         dpcm = jnp.asarray(rng.integers(-16000, 16000, (S, ch, 5760)), jnp.int16)
         dst = [denc.init_state()]
 
@@ -120,17 +123,60 @@ def main():
         rates[name] = _full_path_throughput(
             dab_dispatch, dab_drain, 5760 / 48000.0, S, iters)
 
+    # --- config 5: 64-station mixed fleet with per-stream bitrate mix,
+    # audio-level stats publishing and file sinks (BASELINE.md config 5;
+    # send path odr-audioenc.cpp:1282-1322 at fleet scale) ---
+    rates["fleet_64"] = _fleet64_rate()
+
     mixed = len(rates) / sum(1.0 / r for r in rates.values())
     baseline = 1024 * 10
     detail = ", ".join(f"{k}={v:.0f}" for k, v in rates.items())
     print(json.dumps({
         "metric": f"concurrent 48kHz streams x realtime per chip, full path "
-                  f"(device step + host pack + RS), 4-config fleet "
-                  f"({platform}, S={S}; {detail})",
+                  f"(device step + device pack/RS + host send), 5-config "
+                  f"fleet ({platform}, S={S}; {detail})",
         "value": round(mixed, 1),
         "unit": "streams*x",
         "vs_baseline": round(mixed / baseline, 4),
     }))
+
+
+def _fleet64_rate():
+    """BASELINE config 5: 64 mixed stations (MP2 at 3 bitrates + DAB+ LC/
+    SBR/PS) through the real fleet runtime - file sinks + stats sockets."""
+    import tempfile
+    import wave
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import signals
+    from odr_audioenc_tpu.fleet import run_fleet
+
+    tmp = tempfile.mkdtemp(prefix="bench_fleet_")
+    sig = signals.music_like(30)
+    reps = -(-48000 * 30 // sig.shape[1])
+    sig = np.tile(sig, (1, reps))[:, :48000 * 30]
+    wav = os.path.join(tmp, "in.wav")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(sig.T.astype("<i2").tobytes())
+    streams = []
+    for i in range(64):
+        if i < 32:
+            spec = {"codec": "mp2", "bitrate": [128, 192, 96, 160][i % 4],
+                    "mode": "js"[i % 2]}
+        elif i < 48:
+            spec = {"codec": "dabplus", "bitrate": 96, "channels": 2}
+        elif i < 56:
+            spec = {"codec": "dabplus", "bitrate": 48, "channels": 1}
+        else:
+            spec = {"codec": "dabplus", "bitrate": 32, "channels": 2}
+        spec.update(rate=48000, input=wav,
+                    output=os.path.join(tmp, f"out{i}.bin"),
+                    stats=os.path.join(tmp, f"stats{i}.sock"))
+        streams.append(spec)
+    return run_fleet({"streams": streams})
 
 
 if __name__ == "__main__":

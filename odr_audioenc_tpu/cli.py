@@ -464,7 +464,8 @@ def run_streams(args):
     from .fleet import run_fleet
     with open(args.streams) as f:
         conf = json.load(f)
-    return run_fleet(conf, verbose=args.verbose)
+    run_fleet(conf, verbose=args.verbose)
+    return 0
 
 
 def _setup_logging(args):

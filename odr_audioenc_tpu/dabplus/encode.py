@@ -710,10 +710,69 @@ def ms_stereo(spec, en, thr, bctx, bandsel, dtype):
     return out, en2, thr2, use
 
 
+# full-scale reference for the threshold-weighting tool: fdk's fractional
+# spectra make calcWeighting's en^p terms absolute-level dependent; our
+# int16-domain MDCT needs the equivalent normalisation constant.  2^31
+# calibrated on the PEAQ corpus (tools/quality.py sweep).
+WEIGHT_FS2 = 2.0 ** 31
+
+
+def calc_weighting(en, thr, ffak, nlines, bandsel, is_short, last_patch,
+                   ms_used, dtype):
+    """Threshold/energy weighting for noise-like long frames - a float
+    re-expression of FDKaacEnc_calcWeighting (adj_thr.cpp:755-880): when
+    the audible spectrum is flat (active-line share > 0.78125, this frame
+    and the last), each band's threshold and energy are divided by
+    w_b = min(1, sqrt(en_b^p * sum(en^(1-p/2))/sum(en))) with p selected
+    by the flatness - tilting the upcoming threshold reduction toward loud
+    bands (the psy-shaped scf ladder in speech pauses).
+
+    en/thr/ffak: [S, ch, NB] (post-MS); nlines: band widths [.., NB];
+    last_patch: [S, ch] bool carried state.  Returns (w, new_last_patch).
+    """
+    act = (en > thr) & bandsel
+    width = jnp.broadcast_to(nlines, en.shape)
+    # active-lines estimate (FDKaacEnc_prepareSfbPe, line_pe.cpp:116-146):
+    # nl = min(width, formFactor * (width/en)^(1/4))
+    nl = jnp.minimum(width, ffak * jnp.power(
+        width / jnp.maximum(en, 1e-30), 0.25))
+    nl = jnp.where(act, nl, 0.0)
+    # denominator is the full ladder width (sfbOffsets[sfbCnt] = 960)
+    chaos = jnp.maximum(0.1875, nl.sum(-1) / float(AT.N))
+    long_frame = jnp.ones(en.shape[0], bool) if is_short is None \
+        else ~is_short
+    use_patch = (chaos > 0.78125) & long_frame[:, None]
+    exe = jnp.broadcast_to((use_patch & last_patch)[..., None],
+                           en.shape)
+    if en.shape[1] == 2 and ms_used is not None:
+        # MS-coupled bands follow the mid channel's decision (per band)
+        exe1 = jnp.where(ms_used, exe[:, 0], exe[:, 1])
+        exe = jnp.stack([exe[:, 0], exe1], axis=1)
+    # normalised energies (fdk fractional domain)
+    en_n = jnp.maximum(en / jnp.asarray(WEIGHT_FS2, dtype), 1e-30)
+    e_tot = jnp.sum(jnp.where(bandsel, en_n, 0.0), -1, keepdims=True)
+    e14 = jnp.sum(jnp.where(bandsel, jnp.power(en_n, 0.25), 0.0), -1,
+                  keepdims=True)
+    e12 = jnp.sum(jnp.where(bandsel, jnp.sqrt(en_n), 0.0), -1, keepdims=True)
+    e34 = jnp.sum(jnp.where(bandsel, jnp.power(en_n, 0.75), 0.0), -1,
+                  keepdims=True)
+    e_tot = jnp.maximum(e_tot, 1e-30)
+    w1 = jnp.sqrt(jnp.power(en_n, 1.5) * e14 / e_tot)   # chaos > 0.8125
+    w2 = jnp.sqrt(en_n * e12 / e_tot)                   # chaos > 0.796875
+    w3 = jnp.sqrt(jnp.sqrt(en_n) * e34 / e_tot)         # else
+    c = chaos[..., None]
+    w = jnp.where(c > 0.8125, w1, jnp.where(c > 0.796875, w2, w3))
+    w = jnp.minimum(w, 1.0)
+    w = jnp.where(exe & (en > 0.0) & bandsel, w, 1.0)
+    # short frames leave the chain armed (adj_thr.cpp:878-882)
+    new_last = jnp.where(long_frame[:, None], use_patch, True)
+    return w.astype(dtype), new_last
+
+
 def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
               tns_cfg=None, transient=None, short_ctx=None, is_short=None,
               refine_rounds=REFINE_ROUNDS, modify_minsnr=True,
-              pre_state=None, seq=None):
+              pre_state=None, seq=None, weight_state=None):
     """Rate-controlled quantization of one AU for all streams.
 
     spec: [S, ch, 960] (window-major [8x120] layout for short-block
@@ -867,11 +926,27 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     # NO_AH: band is masked by its neighbours' spread energy, or minSnr
     # demands nothing - no cap needed
     no_ah = (spr_en > en) | (minsnr > 1.0)
-    cap_thr = jnp.maximum(en * minsnr, thr)
-    floor29 = en * jnp.asarray(10.0 ** -2.9, dtype)
-    thr4 = jnp.power(jnp.maximum(thr, 1e-30), 0.25)
     ffak = bctx.reduce_f(jnp.sqrt(jnp.abs(spec)))
     log_ffak = jnp.log10(jnp.maximum(ffak, 1e-30))
+
+    # ---- threshold weighting (calcWeighting): raises quiet bands'
+    # thresholds AND energies in flat frames, so the reduction loop and
+    # the AH caps below both operate in the weighted domain - the loud
+    # bands keep their psy threshold shape (adj_thr.cpp:905-941)
+    w_out = {}
+    wgt = None
+    en_w, thr_w = en, thr
+    if weight_state is not None:
+        wgt, last_patch = calc_weighting(en, thr, ffak, nlines, bsel_c,
+                                         is_short, weight_state, ms_used,
+                                         dtype)
+        en_w = en / wgt
+        thr_w = thr / wgt
+        w_out = dict(last_patch=last_patch)
+
+    cap_thr = jnp.maximum(en_w * minsnr, thr_w)
+    floor29 = en_w * jnp.asarray(10.0 ** -2.9, dtype)
+    thr4 = jnp.power(jnp.maximum(thr_w, 1e-30), 0.25)
 
     # |x|^(3/4) computed once; the rate loop only rescales by 2^(-3/16 gain)
     mag075 = jnp.power(jnp.abs(spec), 0.75)
@@ -955,6 +1030,10 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         thr_red = jnp.power(thr4 + redval, 4.0)
         thr_red = jnp.where(no_ah, thr_red, jnp.minimum(thr_red, cap_thr))
         thr_red = jnp.maximum(thr_red, floor29)
+        if wgt is not None:
+            # reduction/caps run in the weighted domain; the final
+            # thresholds are un-weighted again (adj_thr.cpp:2888-2899)
+            thr_red = thr_red * wgt
         thr_red = thr_red * jnp.exp2(jnp.minimum(o, 0.0))
         # past the caps, degrade uniformly so any budget is attainable
         spill = jnp.maximum(o - SPILL_O, 0.0)
@@ -1024,4 +1103,5 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
                 tns_idx=tns_idx, tns_en_lo=tns_en_lo,
-                tns_order_lo=tns_order_lo, tns_idx_lo=tns_idx_lo, **pre_out)
+                tns_order_lo=tns_order_lo, tns_idx_lo=tns_idx_lo,
+                **pre_out, **w_out)

@@ -67,9 +67,11 @@ class DabPlusEncoder:
     """One instance per homogeneous stream batch (same rate/channels/bitrate;
     mixed batches can use several instances or padding)."""
 
-    def __init__(self, cfg: DabPlusConfig, n_streams=1, dtype=jnp.float32):
+    def __init__(self, cfg: DabPlusConfig, n_streams=1, dtype=jnp.float32,
+                 pack_on_device=False):
         from . import sbr as SBR
         self.cfg = cfg
+        self.pack_on_device = pack_on_device
         self.S = n_streams
         self.dtype = dtype
         rate = cfg.core_rate
@@ -255,6 +257,10 @@ class DabPlusEncoder:
         reserve_au = base_au // 16
         self.budget_au = base_au - reserve_au
         self.bitres_max = reserve_au * cfg.num_aus
+        self.aupack_ctx = None
+        if pack_on_device:
+            from . import aupack
+            self.aupack_ctx = aupack.AuPackCtx(self)
         self._step = jax.jit(self._superframe_step)
 
     def init_state(self):
@@ -267,7 +273,9 @@ class DabPlusEncoder:
               # skip flag cleared after START/first frames)
               "thr_nm1": jnp.full((self.S, self.core_channels, E.NB), 1e30,
                                   self.dtype),
-              "pre_flag": jnp.zeros((self.S,), bool)}
+              "pre_flag": jnp.zeros((self.S,), bool),
+              # calcWeighting's per-channel lastEnFacPatch (adj_thr state)
+              "wgt_last": jnp.zeros((self.S, self.core_channels), bool)}
         if self.is_sbr:
             st["ds_hist"] = jnp.zeros((self.S, self.core_channels,
                            self.ds_taps - 1), self.dtype)
@@ -280,8 +288,10 @@ class DabPlusEncoder:
         st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
         return st
 
-    def _superframe_step(self, state, pcm):
+    def _superframe_step(self, state, pcm, pad_buf=None, pad_len=None):
         """pcm: [S, ch, num_aus*au_samples] int16 -> (state, outputs dict).
+        pad_buf/pad_len: [S, nau, pad_max] int32 X-PAD bytes + used lengths
+        (device-pack mode only; emitted as DSE ancillary data).
 
         The encoder carries one AU of delay (state["pend"]) so block
         switching has a true look-ahead granule, mirroring the reference's
@@ -395,9 +405,15 @@ class DabPlusEncoder:
         total = nau * self.budget_au - sbr_bits.T.sum(0)      # [S]
         budgets = (total * (w / w.sum(0))).astype(jnp.int32)  # [nau,S]
 
+        have_pads = pad_buf is not None
+        have_sbr_slots = self.aupack_ctx is not None and self.is_sbr
+
         def au_body(carry, xs):
-            leftover, thr_nm1, pre_flag = carry
-            prev, cur, seq, budget_au = xs
+            leftover, thr_nm1, pre_flag, wgt_last = carry
+            prev, cur, seq, budget_au = \
+                xs["prev"], xs["cur"], xs["seq"], xs["budget"]
+            is_last = xs.get("is_last")
+            pb, pl = xs.get("pb"), xs.get("pl")
             spec = E.mdct_frame_switched(prev, cur, self.cos_basis,
                                          self.wvecs, self.short_basis,
                                          seq, self.dtype)
@@ -420,14 +436,45 @@ class DabPlusEncoder:
                             refine_rounds=E.REFINE_ROUNDS
                             if cfg.afterburner else 0,
                             modify_minsnr=self.modify_minsnr,
-                            pre_state=(thr_nm1, pre_flag), seq=seq)
+                            pre_state=(thr_nm1, pre_flag), seq=seq,
+                            weight_state=wgt_last)
             leftover = (jnp.maximum(budget_au + allow - o["bits"], 0)
                         + (leftover - allow)).astype(jnp.int32)
             o["wseq"] = seq
+            if getattr(self, "debug_thr", False):
+                # diagnostic tap (tools/diag_lc_thr.py): pre-loop psy
+                # thresholds + band energies per AU
+                return (leftover, o["thr_nm1"], o["pre_flag"],
+                        o["last_patch"]), \
+                    {"thr": o["thr"], "en": o["en"],
+                     "wseq": o["wseq"].astype(jnp.int8)}
+            if self.aupack_ctx is not None:
+                # pack the whole AU on device (aupack.py): the scan carries
+                # only the content bytes + bit count + CRC reduction
+                from . import aupack
+                fr = {"q": o["q"], "gains": o["gains"], "books": o["books"],
+                      "ms_used": o["ms_used"], "wseq": seq,
+                      "tns_en": o["tns_en"], "tns_order": o["tns_order"],
+                      "tns_idx": o["tns_idx"], "tns_en_lo": o["tns_en_lo"],
+                      "tns_order_lo": o["tns_order_lo"],
+                      "tns_idx_lo": o["tns_idx_lo"]}
+                sbr_group = None
+                if "sbr_w" in xs:
+                    sbr_group = (xs["sbr_w"], xs["sbr_v"], 4)
+                groups = aupack.au_content_groups(
+                    self.aupack_ctx, fr, is_last, pad_buf=pb, pad_len=pl,
+                    sbr_group=sbr_group)
+                aubuf, abits, c1 = aupack.pack_au_content(
+                    self.aupack_ctx, groups)
+                return (leftover, o["thr_nm1"], o["pre_flag"],
+                        o["last_patch"]), \
+                    {"aubuf": aubuf.astype(jnp.uint8),
+                     "au_bits": abits, "crc_part": c1}
             # minimal dtypes: device->host transfer is on the critical path
             # (q <= 8191, gains/noise-nrg in [-100, 155], books <= 15,
             # TNS indices 4-bit); the host packer widens as needed
-            return (leftover, o["thr_nm1"], o["pre_flag"]), \
+            return (leftover, o["thr_nm1"], o["pre_flag"],
+                    o["last_patch"]), \
                 {"q": o["q"].astype(jnp.int16),
                  "gains": o["gains"].astype(jnp.int16),
                  "books": o["books"].astype(jnp.uint8),
@@ -442,14 +489,32 @@ class DabPlusEncoder:
                  "wseq": o["wseq"].astype(jnp.int8)}
 
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
-        (bitres, thr_nm1, pre_flag), out = jax.lax.scan(
-            au_body, (bitres0, state["thr_nm1"], state["pre_flag"]),
-            (prevs, grans, wseq, budgets))
+        xs = {"prev": prevs, "cur": grans, "seq": wseq, "budget": budgets,
+              "is_last": jnp.arange(nau) == nau - 1}
+        if have_pads:
+            xs["pb"] = jnp.moveaxis(pad_buf, 0, 1)
+            xs["pl"] = jnp.moveaxis(pad_len, 0, 1)
+        if have_sbr_slots:
+            from . import aupack
+            sw, sv = aupack.sbr_slot_groups(self, sbr_out)
+            xs["sbr_w"] = jnp.moveaxis(sw, 0, 1)
+            xs["sbr_v"] = jnp.moveaxis(sv, 0, 1)
+        (bitres, thr_nm1, pre_flag, wgt_last), out = jax.lax.scan(
+            au_body, (bitres0, state["thr_nm1"], state["pre_flag"],
+                      state["wgt_last"]), xs)
         out = {k: jnp.moveaxis(v, 0, 1) for k, v in out.items()}  # [S,nau,...]
         out.update(sbr_out)
-        return dict(state, prev=grans[-1],
-                    bitres=jnp.minimum(bitres, self.bitres_max),
-                    thr_nm1=thr_nm1, pre_flag=pre_flag), out
+        if self.aupack_ctx is not None:
+            from . import aupack
+            sf, lens = aupack.assemble_superframes(
+                self.aupack_ctx, out["aubuf"].astype(jnp.int32),
+                out["au_bits"], out["crc_part"])
+            out = {"frame": sf, "au_len": lens, "au_bits": out["au_bits"]}
+        new_state = dict(state, prev=grans[-1],
+                         bitres=jnp.minimum(bitres, self.bitres_max),
+                         thr_nm1=thr_nm1, pre_flag=pre_flag,
+                         wgt_last=wgt_last)
+        return new_state, out
 
     def take_state(self, state, idx):
         """Per-stream state rows for churn (all leaves are [S, ...])."""
@@ -470,7 +535,22 @@ class DabPlusEncoder:
         second element is the raw device output dict (still unsynchronised -
         pass to pack_superframes later, so the host can pipeline packing
         against the next device step)."""
-        state, out = self._step(state, jnp.asarray(pcm))
+        if self.aupack_ctx is not None:
+            args = ()
+            if self.cfg.pad_len:
+                pb = np.zeros((self.S, self.cfg.num_aus, self.cfg.pad_len),
+                              np.int32)
+                pl = np.zeros((self.S, self.cfg.num_aus), np.int32)
+                if pads is not None:
+                    for s in range(self.S):
+                        for a, p in enumerate(pads[s]):
+                            if p:
+                                pb[s, a, :len(p)] = np.frombuffer(p, np.uint8)
+                                pl[s, a] = len(p)
+                args = (jnp.asarray(pb), jnp.asarray(pl))
+            state, out = self._step(state, jnp.asarray(pcm), *args)
+        else:
+            state, out = self._step(state, jnp.asarray(pcm))
         if not pack:
             self._pack_args = (add_rs, pads)
             return state, out
@@ -484,6 +564,14 @@ class DabPlusEncoder:
         if add_rs is None:
             add_rs, pads = getattr(self, "_pack_args", (True, None))
         out = {k: np.asarray(v) for k, v in out.items()}
+        if "frame" in out:
+            # device-packed superframes: slice rows; core only when !add_rs
+            ab = out["au_bits"]
+            assert (ab <= 8 * self.aupack_ctx.maxcb).all(), \
+                f"AU content {ab.max()} bits exceeds the device pack bound " \
+                f"({8 * self.aupack_ctx.maxcb})"
+            n = self.packer.total if not add_rs else out["frame"].shape[1]
+            return [out["frame"][s, :n].tobytes() for s in range(self.S)]
         if use_native:
             from ..host import native
             frames = native.dabplus_pack_batch(self, out, pads, add_rs)

@@ -47,6 +47,20 @@ class _Station:
         self.channels = conf.get("channels", 1 if self.mode == "m" else 2)
         if self.codec == "mp2" and self.channels == 1:
             self.mode = "m"
+        # AOT auto-selection by bitrate/channels (prepare_aac_encoder,
+        # odr-audioenc.cpp:249-261), overridable with an "aot" key
+        subch = self.bitrate // 8
+        if self.codec == "dabplus":
+            if self.channels == 2 and subch <= 6:
+                auto = "ps"
+            elif (self.channels == 1 and subch <= 8) or \
+                    (self.channels == 2 and subch <= 10):
+                auto = "sbr"
+            else:
+                auto = "lc"
+            self.aot = conf.get("aot", auto)
+        else:
+            self.aot = None
         from .io.queue import SampleQueue
         self.queue = SampleQueue()
         self.queue.configure(1 << 24, push_block=False, channels=self.channels)
@@ -163,7 +177,7 @@ def run_fleet(conf, verbose=0):
             groups[("mp2", st.rate)].append(st)
         else:
             groups[("dabplus", st.rate, st.bitrate, st.channels,
-                    st.pad_len)].append(st)
+                    st.pad_len, st.aot)].append(st)
 
     runners = []
     for key, members in groups.items():
@@ -171,17 +185,21 @@ def run_fleet(conf, verbose=0):
             cfg = make_config([{"rate": m.rate, "bitrate": m.bitrate,
                                 "mode": m.mode, "pad_len": m.pad_len}
                                for m in members])
-            enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32)
+            enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32,
+                             pack_on_device="frame")
             packer = Mp2Packer(cfg)
             runners.append(("mp2", members, enc, packer, enc.init_state()))
         else:
-            _, rate, bitrate, ch, pad_len = key
-            dcfg = DabPlusConfig(rate, bitrate // 8, ch, pad_len=pad_len)
-            enc = DabPlusEncoder(dcfg, n_streams=len(members))
+            _, rate, bitrate, ch, pad_len, aot = key
+            dcfg = DabPlusConfig(rate, bitrate // 8, ch, pad_len=pad_len,
+                                 aot=aot)
+            enc = DabPlusEncoder(dcfg, n_streams=len(members),
+                                 pack_on_device=True)
             runners.append(("dabplus", members, enc, None, enc.init_state()))
 
     t0 = time.perf_counter()
     audio_seconds = 0.0
+    first_pass = True
     # one-step-deep host<->device pipeline: the device computes step k while
     # the host transfers + bit-packs step k-1's outputs (JAX dispatch is
     # async; np.asarray is the sync point, so it runs AFTER the next step
@@ -236,8 +254,17 @@ def run_fleet(conf, verbose=0):
                         xp[i] = m.request_pads(1)[0]
                         xl[i] = xp[i][1]
                 have_pads = any(x is not None for x in xp)
+                xbuf = None
+                if have_pads:
+                    # frame mode packs X-PAD on device: [S, pad_max] buffers
+                    xbuf = np.zeros((len(members), enc.pad_max), np.int32)
+                    for i, x in enumerate(xp):
+                        if x is not None and x[0]:
+                            b = np.frombuffer(x[0], np.uint8)
+                            xbuf[i, :len(b)] = b
                 state, out = enc.encode_step(
-                    state, pcm, xl if have_pads else None)  # async dispatch
+                    state, pcm, xl if have_pads else None,
+                    xpad_buf=xbuf)  # async dispatch
                 audio_seconds += len(members) * 1152 / members[0].rate
                 step_xp = xp if have_pads else None
             else:
@@ -260,6 +287,11 @@ def run_fleet(conf, verbose=0):
                 pending[ri], keep = prev, pending[ri]
                 drain(ri)
                 pending[ri] = keep
+        if first_pass:
+            # steady-state rate: exclude the first pass (jit compilation)
+            first_pass = False
+            t0 = time.perf_counter()
+            audio_seconds = 0.0
         if realtime:
             time.sleep(0.001)
     for ri in range(len(runners)):
@@ -268,8 +300,8 @@ def run_fleet(conf, verbose=0):
     dt = time.perf_counter() - t0
     for st in stations:
         st.close()
-    if verbose or True:
-        print(f"fleet: {len(stations)} stations, {audio_seconds:.1f} audio-s "
-              f"in {dt:.2f} s wall = {audio_seconds / dt:.1f} streams*realtime",
-              file=sys.stderr)
-    return 0
+    rate = audio_seconds / dt if dt > 0 else 0.0
+    print(f"fleet: {len(stations)} stations, {audio_seconds:.1f} audio-s "
+          f"in {dt:.2f} s wall = {rate:.1f} streams*realtime",
+          file=sys.stderr)
+    return rate

@@ -1,0 +1,104 @@
+"""Device DAB+ AU/superframe emission (dabplus/aupack.py).
+
+Byte equality is asserted at the packer level: the same encoder outputs go
+through the host writer and the device slot packer (two differently-fused
+jit graphs of the full encoder may legitimately make different quantizer
+decisions at float decision boundaries, so end-to-end equality between
+encoder instances is NOT the contract - identical emission for identical
+decisions is).  A separate end-to-end test checks the in-scan device path
+produces structurally valid superframes (RS, firecode, AU CRCs, decode)."""
+import numpy as np
+import pytest
+
+from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
+from odr_audioenc_tpu.dabplus import aupack
+
+
+def _signal(rng, S, ch, n, kind):
+    if kind == "noise":
+        return rng.integers(-16000, 16000, (S, ch, n)).astype(np.int16)
+    if kind == "quiet":
+        return rng.integers(-60, 60, (S, ch, n)).astype(np.int16)
+    if kind == "attack":
+        x = rng.integers(-200, 200, (S, ch, n)).astype(np.int16)
+        t = np.arange(300)
+        burst = (14000 * np.sin(2 * np.pi * 3000 / 48000 * t)).astype(np.int16)
+        x[:, :, n // 2:n // 2 + 300] += burst
+        return x
+    t = np.arange(n) / 48000.0
+    x = (11000 * np.sin(2 * np.pi * 997 * t)).astype(np.int16)
+    return np.tile(x, (S, ch, 1)).astype(np.int16)
+
+
+CASES = [
+    dict(rate=48000, subch=12, ch=2),
+    dict(rate=48000, subch=8, ch=1),
+    dict(rate=32000, subch=6, ch=2),
+    dict(rate=48000, subch=24, ch=2),
+    dict(rate=48000, subch=6, ch=1, aot="sbr"),
+    dict(rate=48000, subch=8, ch=2, aot="sbr"),
+    dict(rate=48000, subch=4, ch=2, aot="ps"),
+    dict(rate=32000, subch=4, ch=2, aot="ps"),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize("with_pad", [False, True])
+def test_device_pack_matches_host(case, with_pad):
+    if with_pad and case["subch"] != 12:
+        pytest.skip("pad path covered once")
+    S = 3
+    cfg = DabPlusConfig(case["rate"], case["subch"], case["ch"],
+                        aot=case.get("aot", "lc"),
+                        pad_len=16 if with_pad else 0)
+    enc = DabPlusEncoder(cfg, n_streams=S)
+    rng = np.random.default_rng(5)
+    st = enc.init_state()
+    n = cfg.num_aus * cfg.au_samples
+    for kind in ["noise", "attack", "quiet", "tone"]:
+        pcm = _signal(rng, S, cfg.channels, n, kind)
+        pads = None
+        if with_pad:
+            pads = [[bytes(rng.integers(0, 256, int(rng.integers(0, 17)))
+                           .astype(np.uint8)) for _ in range(cfg.num_aus)]
+                    for _ in range(S)]
+        st, out = enc.encode_superframes(st, pcm, pack=False, pads=pads)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        fr_h = enc.pack_superframes(out, add_rs=True, pads=pads,
+                                    use_native=False)
+        fr_d = aupack.pack_from_outputs(enc, out, pads=pads, add_rs=True)
+        for s in range(S):
+            h, d = fr_h[s], fr_d[s].tobytes()
+            assert h == d, (
+                f"{case} pad={with_pad} {kind} stream {s}: first diff at "
+                f"{next(j for j in range(min(len(h), len(d))) if h[j] != d[j])}"
+                f" of {len(h)}/{len(d)}")
+
+
+def test_device_mode_end_to_end_valid():
+    """In-scan device packing yields RS/firecode/AU-CRC-valid superframes."""
+    from odr_audioenc_tpu.fec.rs import superframe_check_rs
+    from odr_audioenc_tpu.host.aacpack import firecode_crc, crc16_ccitt
+    cfg = DabPlusConfig(48000, 12, 2, aot="lc")
+    S = 2
+    enc = DabPlusEncoder(cfg, n_streams=S, pack_on_device=True)
+    rng = np.random.default_rng(7)
+    st = enc.init_state()
+    n = cfg.num_aus * cfg.au_samples
+    for kind in ["noise", "attack"]:
+        pcm = _signal(rng, S, 2, n, kind)
+        st, frames = enc.encode_superframes(st, pcm)
+        for s in range(S):
+            sf = np.frombuffer(frames[s], np.uint8)
+            assert len(sf) == 12 * 120
+            assert superframe_check_rs(sf)
+            core = bytes(sf[:12 * 110])
+            assert firecode_crc(core[2:11]) == (core[0] << 8) | core[1]
+            # AU starts + per-AU CRC
+            bits = ''.join(f'{b:08b}' for b in core[:11])
+            starts = [11] + [int(bits[24 + 12 * i:36 + 12 * i], 2)
+                             for i in range(5)]
+            ends = starts[1:] + [12 * 110]
+            for lo, hi in zip(starts, ends):
+                au, crc = core[lo:hi - 2], core[hi - 2:hi]
+                assert crc16_ccitt(au) ^ 0xFFFF == (crc[0] << 8) | crc[1]
