@@ -261,6 +261,10 @@ def make_unavailable(name, flag):
     return Unavailable
 
 
-# JACK needs the client library (an RT callback API, src/JackInput.cpp:116)
-# that has no subprocess equivalent; gated like the reference's HAVE_JACK.
-JackInput = make_unavailable("JACK", "libjack")
+# JACK: a real ctypes client of libjack (io/jack_in.py); when the library
+# is absent at runtime its prepare() raises the same gate error the
+# reference's compile-time HAVE_JACK would.  Lazy to avoid a circular
+# import (jack_in subclasses InputInterface).
+def JackInput(*args, **kwargs):
+    from .jack_in import JackInput as _JackInput
+    return _JackInput(*args, **kwargs)

@@ -27,7 +27,7 @@ def _pcm(rng, S, kind):
     return np.tile(x, (S, 2, 1)).astype(np.int16)
 
 
-def _run(pack_mode, n_frames=3, with_pad=False):
+def _run(pack_mode, n_frames=3, with_pad=False, use_native=False):
     streams = list(STREAMS)
     if with_pad:
         streams = [dict(s, pad_len=16) for s in streams]
@@ -61,7 +61,7 @@ def _run(pack_mode, n_frames=3, with_pad=False):
             _run._st = st
         out_np = {k: np.asarray(v) for k, v in out.items()}
         for i, b in enumerate(packer.emit(out_np, xpads=xpads,
-                                          use_native=False)):
+                                          use_native=use_native)):
             emitted[i] += b
     for i, b in enumerate(packer.finish()):
         emitted[i] += b
@@ -77,3 +77,13 @@ def test_device_frames_match_host(with_pad):
             f"stream {i} ({STREAMS[i]}): first diff at "
             f"{next(j for j in range(min(len(h), len(d))) if h[j] != d[j]) if h[:len(d)] != d[:len(h)] else 'len'}"
             f" host={len(h)}B dev={len(d)}B")
+
+
+def test_device_frames_match_native_splice():
+    """Device frames vs the C++ batch packer, including near-silent frames
+    (zero-allocation bands, tiny payloads) and X-PAD after the splice - the
+    partial-byte splice branch of native/mp2pack.cpp (advisor round-2)."""
+    host = _run(False, with_pad=True, use_native=True)
+    dev = _run("frame", with_pad=True)
+    for i, (h, d) in enumerate(zip(host, dev)):
+        assert h == d, f"stream {i} ({STREAMS[i]})"
