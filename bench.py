@@ -156,11 +156,13 @@ def _fleet64_rate():
     reps = -(-48000 * 30 // sig.shape[1])
     sig = np.tile(sig, (1, reps))[:, :48000 * 30]
     wav = os.path.join(tmp, "in.wav")
-    with wave.open(wav, "wb") as w:
-        w.setnchannels(2)
-        w.setsampwidth(2)
-        w.setframerate(48000)
-        w.writeframes(sig.T.astype("<i2").tobytes())
+    wav1 = os.path.join(tmp, "in_mono.wav")
+    for path, ch in ((wav, 2), (wav1, 1)):
+        with wave.open(path, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(48000)
+            w.writeframes(sig[:ch].T.astype("<i2").tobytes())
     streams = []
     for i in range(64):
         if i < 32:
@@ -172,7 +174,8 @@ def _fleet64_rate():
             spec = {"codec": "dabplus", "bitrate": 48, "channels": 1}
         else:
             spec = {"codec": "dabplus", "bitrate": 32, "channels": 2}
-        spec.update(rate=48000, input=wav,
+        spec.update(rate=48000,
+                    input=wav1 if spec.get("channels") == 1 else wav,
                     output=os.path.join(tmp, f"out{i}.bin"),
                     stats=os.path.join(tmp, f"stats{i}.sock"))
         streams.append(spec)

@@ -189,20 +189,37 @@ def _mulmod_dev(a, b):
     return acc
 
 
+# NOTE: these cache HOST (numpy) tables only - caching jnp arrays under
+# lru_cache leaks tracers across jit traces (the constant materialises
+# inside the first trace and escapes into the next one)
+
+
 @lru_cache(maxsize=None)
+def _crc16_R_np(p_bits):
+    return BP.CrcTable(0x1021, 16, 0, p_bits).R
+
+
 def _crc16_R(p_bits):
-    return jnp.asarray(BP.CrcTable(0x1021, 16, 0, p_bits).R, jnp.bfloat16)
+    return jnp.asarray(_crc16_R_np(p_bits), jnp.bfloat16)
 
 
 @lru_cache(maxsize=None)
+def _fire_R_np(p_bits):
+    return BP.CrcTable(0x782D, 16, 0, p_bits).R
+
+
 def _fire_R(p_bits):
-    return jnp.asarray(BP.CrcTable(0x782D, 16, 0, p_bits).R, jnp.bfloat16)
+    return jnp.asarray(_fire_R_np(p_bits), jnp.bfloat16)
 
 
 @lru_cache(maxsize=None)
-def _rs_M():
+def _rs_M_np():
     from ..fec.rs import rs_dab
-    return jnp.asarray(BP.rs_bit_matrix(rs_dab()), jnp.bfloat16)
+    return BP.rs_bit_matrix(rs_dab())
+
+
+def _rs_M():
+    return jnp.asarray(_rs_M_np(), jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,8 @@ import numpy as np
 from . import tables as AT
 
 NB = AT.MAX_SFB_LONG  # 49 padded bands
+HOLE_O = 8            # rate-loop offset where allowMoreHoles band erasure
+HOLE_RATE = 14.0      # priority ranks opened per offset step past HOLE_O
 SPILL_O = 40          # rate-loop offset where uniform spill-degradation
                       # takes over from the capped threshold reduction
 REFINE_ROUNDS = 2     # afterburner refinement rounds (-A disables via
@@ -205,10 +207,14 @@ class BandCtx:
 def spread_thresholds(en, pt, dtype):
     """Two-pass bark-domain spreading + ATH (psy_main.cpp:950-1014 analogue).
 
-    en: [..., NB]; pt: dict with f_low/f_high/ath, each [NB] or broadcastable
-    [..., NB] (per-stream selected for long/short band ladders).
+    en: [..., NB]; pt: dict with f_low/f_high/ath/pcm_floor, each [NB] or
+    broadcastable [..., NB] (per-stream selected for long/short ladders).
     Returns thr [..., NB]."""
-    base = en * jnp.asarray(10.0 ** (-2.9), dtype)  # 29 dB best-case SNR
+    # C_RATIO, -29 dB (psy_main.cpp:703).  The reference also clips the
+    # threshold at clipEnergy (:945) - a fixed-point overflow guard, NOT
+    # psychoacoustics; in float it binds on loud tones and measurably
+    # starves the rest of the budget (96k corpus NMR +1.2 dB), so no clip.
+    base = en * jnp.asarray(10.0 ** (-2.9), dtype)
     f_high = jnp.broadcast_to(pt["f_high"], en.shape)
     f_low = jnp.broadcast_to(pt["f_low"], en.shape)
 
@@ -218,8 +224,15 @@ def spread_thresholds(en, pt, dtype):
         thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b - 1] * f_high[..., b - 1]))
     for b in range(NB - 2, -1, -1):
         thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b + 1] * f_low[..., b]))
+    # absolute floor: the hearing curve plus the reference's PCM
+    # quantization noise per band (psy_main.cpp:952-970).  NOTE: the
+    # fdk-faithful variant (floor above energy = free holes, no thr<=en
+    # clamp) measured 0.8 dB WORSE corpus NMR - the PEAQ harness penalises
+    # the hole noise in transition frames more than the freed bits help -
+    # so the clamp stays; allowMoreHoles (try_offset) still opens holes
+    # under budget pressure where the reference would.
     thr = jnp.maximum(thr, pt["ath"])
-    thr = jnp.minimum(thr, en + 1e30 * (en == 0))  # never demand below-signal noise
+    thr = jnp.minimum(thr, en + 1e30 * (en == 0))
     return thr
 
 
@@ -798,7 +811,7 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         pt_sel = {k: jnp.where(is_short[:, None, None],
                                short_ctx["pt"][k][None, None],
                                jnp.asarray(pt[k])[None, None])
-                  for k in ("f_low", "f_high", "ath", "minsnr",
+                  for k in ("f_low", "f_high", "ath", "pcm_floor", "minsnr",
                             "f_low_spr", "f_high_spr")}
         nlines = jnp.where(t1, short_ctx["nlines"][None],
                            jnp.maximum(band_m.sum(-1), 1.0)[None])[:, None]
@@ -810,6 +823,12 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         ics_fixed = 11
         pt_sel = pt
         nlines = jnp.maximum(band_m.sum(-1), 1.0)
+
+    # pre-TNS energies (kept for diagnostics; the fdk ordering - thresholds
+    # from UNFILTERED energies, psy_main.cpp:703 vs :844 - measured 0.7 dB
+    # worse corpus NMR here because our delivered TNS gain differs, so the
+    # thresholds are taken from the post-TNS energies below)
+    en_pre = bctx.energy(spec)
 
     # TNS first: the decoder applies MS reconstruction before TNS synthesis,
     # so the encoder filters L/R before the MS transform.  Split-range TNS
@@ -847,8 +866,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         tns_order_lo = jnp.zeros((S, n_ch_s), jnp.int32)
         tns_idx_lo = jnp.zeros((S, n_ch_s, TNS_MAX_ORDER), jnp.int32)
 
-    # psy on the L/R domain first (fdk order: energies -> spreading ->
-    # thresholds, THEN MS substitution, psy_main.cpp:872-1218)
+    # psy on the L/R domain (energies -> spreading -> thresholds, THEN MS
+    # substitution, psy_main.cpp:872-1218)
     en = bctx.energy(spec)
     thr = spread_thresholds(en, pt_sel, dtype)
     pre_out = {}
@@ -948,6 +967,40 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     floor29 = en_w * jnp.asarray(10.0 ** -2.9, dtype)
     thr4 = jnp.power(jnp.maximum(thr_w, 1e-30), 0.25)
 
+    # ---- allowMoreHoles priority (adj_thr.cpp:1690-1930): when the
+    # capped reduction still misses the budget, the reference does NOT
+    # raise every threshold uniformly - it ERASES whole bands (thr := 2*en,
+    # pe 0), lowest-energy bands first and from the highest sfb down, never
+    # below startSfb (15 long / 3 per short group at >=20kbps/ch).  This is
+    # what keeps the scf ladder psy-shaped under pressure: important low
+    # bands stay at their caps while unimportant bands disappear.
+    idxb = jnp.arange(NB)
+    pos = jnp.broadcast_to(idxb, (1, 1, NB))
+    start_b = jnp.asarray(15 if modify_minsnr else 0)
+    if short_ctx is not None:
+        # grouped short ladder: position within the group, startSfbS=3
+        gs = np.flatnonzero(np.asarray(short_ctx["grp_start"]))
+        per_grp = int(gs[1] - gs[0]) if len(gs) > 1 else NB
+        pos = jnp.where(is_short[:, None, None],
+                        jnp.broadcast_to(idxb % per_grp, (1, 1, NB)), pos)
+        start_b = jnp.where(is_short[:, None, None],
+                            3 if modify_minsnr else 0, start_b)
+    hole_cand = bsel_c & ~no_ah & (en_w > thr_w) & (pos >= start_b)
+    ld_en = jnp.log2(jnp.maximum(en, 1e-30))
+    big = jnp.asarray(1e30, dtype)
+    mn = jnp.min(jnp.where(hole_cand, ld_en, big), axis=(-2, -1),
+                 keepdims=True)
+    n_cand = jnp.maximum(hole_cand.sum(axis=(-2, -1), keepdims=True), 1)
+    avg = jnp.log2(jnp.maximum(
+        jnp.sum(jnp.where(hole_cand, en, 0.0), axis=(-2, -1), keepdims=True)
+        / n_cand, 1e-30))
+    fr = jnp.asarray([(2 * k + 1) / 15.0 for k in range(8)], dtype)
+    borders = mn[..., None] + (avg - mn)[..., None] * fr    # [..,1,1,8]
+    k0 = jnp.sum(ld_en[..., None] > borders, -1)            # [S,ch,NB] 0..8
+    hole_rank = jnp.where(hole_cand & (k0 < 8),
+                          k0 * NB + (NB - 1 - pos), 1 << 20)
+    hole_thr = 2.0 * en_w
+
     # |x|^(3/4) computed once; the rate loop only rescales by 2^(-3/16 gain)
     mag075 = jnp.power(jnp.abs(spec), 0.75)
     neg = spec < 0
@@ -1008,7 +1061,17 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             books, bbits = spectral_bits_and_books(q, bctx, bandsel_c, dtype)
         books = jnp.where(pns_mask, PNS_HCB, books)
         bbits = jnp.where(pns_mask, 0, bbits)
-        g_tx = jnp.where(pns_mask, pns_nrg, gains)  # transmitted values
+        # transmitted gains: all-zero bands may still get a book > 0 from
+        # the sectioning DP (merging saves header bits), so their scf enters
+        # the dpcm chain - clamp THOSE into the nonzero bands' +-60 window
+        # (their value is free: scf x zero spectrum reconstructs zero)
+        qnz = (q != 0).astype(jnp.bfloat16)
+        nzb = bctx.count(qnz[..., None])[..., 0] > 0.5
+        gmax_nz = jnp.where(nzb, gains, -100).max(-1, keepdims=True)
+        gmax_nz = jnp.where(nzb.any(-1, keepdims=True), gmax_nz, 100)
+        g_safe = jnp.clip(gains, gmax_nz - 60, gmax_nz)
+        g_tx = jnp.where(pns_mask, pns_nrg,
+                         jnp.where(nzb, gains, g_safe))
         side = side_info_bits(books, g_tx, bandsel_c, dtype,
                               sect_hdr=sect_hdr_c, force_break=fb_c,
                               is_short=is_short_c)
@@ -1030,6 +1093,10 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         thr_red = jnp.power(thr4 + redval, 4.0)
         thr_red = jnp.where(no_ah, thr_red, jnp.minimum(thr_red, cap_thr))
         thr_red = jnp.maximum(thr_red, floor29)
+        # past HOLE_O the offset opens holes in priority order instead of
+        # flattening every band (allowMoreHoles): bits(o) stays monotone
+        hole = hole_rank.astype(dtype) < (o - HOLE_O) * HOLE_RATE
+        thr_red = jnp.where(hole, jnp.maximum(thr_red, hole_thr), thr_red)
         if wgt is not None:
             # reduction/caps run in the weighted domain; the final
             # thresholds are un-weighted again (adj_thr.cpp:2888-2899)
@@ -1039,7 +1106,7 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         spill = jnp.maximum(o - SPILL_O, 0.0)
         scf = jnp.floor(8.8585 * (jnp.log10(6.75 * thr_red) - log_ffak)
                         + scf_corr + spill).astype(jnp.int32)
-        # padded/inactive bands carry ATH=1e30 thresholds - exclude them
+        # padded/inactive bands carry huge thresholds - exclude them
         # BEFORE the window clamp or their 155-clipped scfs drag every real
         # band's gain to the ceiling (empty-AU bug on the short ladder)
         gains = jnp.where(bandsel_c, jnp.clip(scf, -100, 155), -100)
@@ -1100,7 +1167,12 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     if refine_rounds:
         (q, gains, books, bits), _ = jax.lax.scan(
             refine, (q, gains, books, bits), None, length=refine_rounds)
+    # delivered per-band distortion (diagnostic tap; fused away when unused)
+    deq_f = jnp.power(jnp.abs(q).astype(dtype), 4.0 / 3.0) * \
+        bctx.to_lines(jnp.exp2(0.25 * gains.astype(dtype)))
+    dist = bctx.reduce_f((x_abs - deq_f) ** 2)
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
+                dist=dist, en_pre=en_pre,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
                 tns_idx=tns_idx, tns_en_lo=tns_en_lo,
                 tns_order_lo=tns_order_lo, tns_idx_lo=tns_idx_lo,

@@ -182,7 +182,7 @@ class DabPlusEncoder:
         pt_s_np = AT.short_band_psy_tables(rate)
         spr_s_np = AT.spread_energy_tables(rate, ch_bitrate, short=True)
         pt_short = {k: jnp.asarray(pt_s_np[k], dtype)
-                    for k in ("f_low", "f_high", "ath")}
+                    for k in ("f_low", "f_high", "ath", "pcm_floor")}
         pt_short["minsnr"] = jnp.asarray(
             AT.min_snr_ladder(ch_bitrate, rate, short=True), dtype)
         pt_short["f_low_spr"] = jnp.asarray(spr_s_np["f_low"], dtype)
@@ -400,7 +400,11 @@ class DabPlusEncoder:
         # quantisation noise is audible against the quiet span) get a larger
         # share - the role of fdk's PE-based bit allocation (adj_thr.cpp).
         se_au = (grans * grans).reshape(nau, S, ch, 8, AT.N // 8).sum(-1)
-        hard_au = (se_au.max(-1) > 32.0 * (se_au.min(-1) + 1.0)).any(-1)
+        se_prev = jnp.concatenate([
+            (state["prev"] * state["prev"]).reshape(
+                1, S, ch, 8, AT.N // 8).sum(-1), se_au[:-1]], axis=0)
+        se_win = jnp.concatenate([se_prev, se_au], -1)  # coded window
+        hard_au = (se_win.max(-1) > 32.0 * (se_win.min(-1) + 1.0)).any(-1)
         w = 1.0 + 0.5 * hard_au.astype(self.dtype)            # [nau,S]
         total = nau * self.budget_au - sbr_bits.T.sum(0)      # [S]
         budgets = (total * (w / w.sum(0))).astype(jnp.int32)  # [nau,S]
@@ -417,9 +421,12 @@ class DabPlusEncoder:
             spec = E.mdct_frame_switched(prev, cur, self.cos_basis,
                                          self.wvecs, self.short_basis,
                                          seq, self.dtype)
-            # time-domain transience over 8 sub-blocks of the granule (the
-            # TNS gate; tns_detect-style attack measure)
-            sub = cur.reshape(cur.shape[0], cur.shape[1], 8, AT.N // 8)
+            # time-domain transience over 16 sub-blocks of the WHOLE coded
+            # window (prev+cur): the long MDCT window spans both granules,
+            # so an offset (loud prev -> silent cur) smears this AU's
+            # quantisation noise into the silence just like an attack does
+            win = jnp.concatenate([prev, cur], -1)
+            sub = win.reshape(win.shape[0], win.shape[1], 16, AT.N // 8)
             se = (sub * sub).sum(-1)
             transient = se.max(-1) > 6.0 * (se.mean(-1) + 1.0)
             # reservoir spending policy (bitres usage by demand,
@@ -443,10 +450,15 @@ class DabPlusEncoder:
             o["wseq"] = seq
             if getattr(self, "debug_thr", False):
                 # diagnostic tap (tools/diag_lc_thr.py): pre-loop psy
-                # thresholds + band energies per AU
+                # thresholds + band energies + spent bits per AU
                 return (leftover, o["thr_nm1"], o["pre_flag"],
                         o["last_patch"]), \
-                    {"thr": o["thr"], "en": o["en"],
+                    {"thr": o["thr"], "en": o["en"], "bits": o["bits"],
+                     "dist": o["dist"], "en_pre": o["en_pre"],
+                     "budget": budget_au + allow, "gains": o["gains"],
+                     "books": o["books"], "q": o["q"],
+                     "tns_en": o["tns_en"], "tns_order": o["tns_order"],
+                     "tns_en_lo": o["tns_en_lo"],
                      "wseq": o["wseq"].astype(jnp.int8)}
             if self.aupack_ctx is not None:
                 # pack the whole AU on device (aupack.py): the scan carries

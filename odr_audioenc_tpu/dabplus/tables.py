@@ -145,6 +145,13 @@ def short_band_count(rate):
     return N_GROUPS * (len(SFB_SHORT[rate]))
 
 
+# per-line PCM quantization noise power in int16-scaled MDCT energy units:
+# 10^-2 * ABS_LOW(=16887.8/4) per the reference's PCM_QUANT_NOISE constant
+# (psy_configuration.cpp:493-495; the 2^-30 fraction scale cancels against
+# our 2^30 energy-domain offset, measured with tools/diag_lc_thr.py)
+PCM_FLOOR_PER_LINE = 42.22
+
+
 def bark(f_hz):
     f = np.maximum(f_hz, 0.0) * 0.001
     return 13.0 * np.arctan(0.76 * f) + 3.5 * np.arctan((f / 7.5) ** 2)
@@ -175,10 +182,16 @@ def band_psy_tables(rate, nbands=MAX_SFB_LONG):
     # chosen so ath(0 dB) corresponds to ~1 LSB line energy
     ath = 10.0 ** (ath_db(centers) / 10.0) * 480.0
     out = dict(nbands=nb, f_low=np.zeros(nbands), f_high=np.zeros(nbands),
-               ath=np.full(nbands, 1e30))
+               ath=np.full(nbands, 1e30), pcm_floor=np.full(nbands, 1e30))
     out["f_low"][:nb - 1] = f_low
     out["f_high"][:nb - 1] = f_high
     out["ath"][:nb] = ath
+    # PCM quantization noise floor (FDKaacEnc_InitMinPCMResolution,
+    # psy_configuration.cpp:491-501): width * 10^-2 * ABS_LOW in int16-scaled
+    # energy units (our MDCT energies equal fdk's fractional ones x 2^30,
+    # measured via tools/diag_lc_thr.py) - this, not a hearing curve, is the
+    # reference's absolute threshold and sits ~20 dB above our old ATH
+    out["pcm_floor"][:nb] = PCM_FLOOR_PER_LINE * np.diff(off)
     return out
 
 
@@ -196,12 +209,18 @@ def short_band_psy_tables(rate, nbands=MAX_SFB_LONG):
     # short transform: a line of amplitude a has band energy ~ (NS/2) * a^2
     ath1 = 10.0 ** (ath_db(centers) / 10.0) * (NS / 2.0)
     out = dict(nbands=N_GROUPS * nsfb, f_low=np.zeros(nbands),
-               f_high=np.zeros(nbands), ath=np.full(nbands, 1e30))
+               f_high=np.zeros(nbands), ath=np.full(nbands, 1e30),
+               pcm_floor=np.full(nbands, 1e30))
+    # grouped band energies sum 8/N_GROUPS windows of NS-length transforms:
+    # white PCM noise lands NS/N of the long path's per-line energy, summed
+    # over the group's windows
+    floor1 = PCM_FLOOR_PER_LINE * (8 // N_GROUPS) * (NS / N) * np.diff(off)
     for g in range(N_GROUPS):
         b0 = g * nsfb
         out["f_low"][b0:b0 + nsfb - 1] = f_low1
         out["f_high"][b0:b0 + nsfb - 1] = f_high1
         out["ath"][b0:b0 + nsfb] = ath1
+        out["pcm_floor"][b0:b0 + nsfb] = floor1
         if g + 1 < N_GROUPS:  # no spreading across the group boundary
             out["f_low"][b0 + nsfb - 1] = 0.0
             out["f_high"][b0 + nsfb - 1] = 0.0

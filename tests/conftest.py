@@ -19,3 +19,22 @@ jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import pytest  # noqa: E402
+
+# Fast tier: `pytest -m "not slow"` must stay under ~3 min so every change
+# can gate cheaply; the heavyweights (golden configs, PEAQ quality, full
+# encode->decode loopbacks) run in the full suite.  Marked centrally here so
+# test modules stay plain.
+SLOW_MODULES = {
+    "test_quality", "test_mp2_golden", "test_dabplus", "test_sbr",
+    "test_ps", "test_aupack", "test_psy4", "test_blockswitch",
+    "test_bitres", "test_pns", "test_churn", "test_cli", "test_edi",
+    "test_dabplus_pad",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        if it.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            it.add_marker(pytest.mark.slow)

@@ -102,3 +102,10 @@ def test_device_mode_end_to_end_valid():
             for lo, hi in zip(starts, ends):
                 au, crc = core[lo:hi - 2], core[hi - 2:hi]
                 assert crc16_ccitt(au) ^ 0xFFFF == (crc[0] << 8) | crc[1]
+    # a SECOND device-pack encoder must trace cleanly (regression: cached
+    # jnp constants leaking tracers across jit traces)
+    cfg2 = DabPlusConfig(48000, 6, 1, aot="sbr")
+    enc2 = DabPlusEncoder(cfg2, n_streams=1, pack_on_device=True)
+    pcm2 = _signal(rng, 1, 1, cfg2.num_aus * cfg2.au_samples, "noise")
+    _, fr2 = enc2.encode_superframes(enc2.init_state(), pcm2)
+    assert superframe_check_rs(np.frombuffer(fr2[0], np.uint8))
