@@ -22,14 +22,31 @@ import time
 import numpy as np
 
 
+def _prefetch(out):
+    """Start device->host copies without blocking (jax copy_to_host_async):
+    the transfer then overlaps the NEXT step's device compute and the
+    previous step's host emit, so steady-state step time is
+    max(device, transfer, emit) instead of device + transfer + emit."""
+    vals = out.values() if hasattr(out, "values") else out
+    for v in vals:
+        f = getattr(v, "copy_to_host_async", None)
+        if f is not None:
+            try:
+                f()
+            except Exception:
+                pass
+
+
 def _full_path_throughput(dispatch, drain, audio_s, streams, iters):
     """One-step-deep pipeline: dispatch(k+1) overlaps drain(k)."""
     pend = dispatch()                 # warm (compile hit or cache)
     drain(pend)
     pend = dispatch()
+    _prefetch(pend)
     t0 = time.perf_counter()
     for _ in range(iters):
         nxt = dispatch()              # async device dispatch
+        _prefetch(nxt)                # async device->host copy
         drain(pend)                   # host pack + RS of the previous step
         pend = nxt
     dt = (time.perf_counter() - t0) / iters

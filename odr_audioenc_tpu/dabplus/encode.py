@@ -22,6 +22,12 @@ import numpy as np
 from . import tables as AT
 
 NB = AT.MAX_SFB_LONG  # 49 padded bands
+MSNR_O = 10_000       # reduceMinSnr region DISABLED: unlike fdk (which only
+                      # fires it when PE overshoots desired by >15%), our
+                      # offset grid hits o>4 on ordinary AUs and the 1 dB-SNR
+                      # top bands cost +2..5 dB corpus NMR (measured)
+MSNR_RATE = 14.0      # the top sfbs to 1 dB SNR, one rank per step
+MSNR_FAC = 0.8        # SnrLdFac: thr := 0.8*en ~ 1 dB SNR (adj_thr.cpp:124)
 HOLE_O = 8            # rate-loop offset where allowMoreHoles band erasure
 HOLE_RATE = 14.0      # priority ranks opened per offset step past HOLE_O
 SPILL_O = 40          # rate-loop offset where uniform spill-degradation
@@ -997,9 +1003,32 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     fr = jnp.asarray([(2 * k + 1) / 15.0 for k in range(8)], dtype)
     borders = mn[..., None] + (avg - mn)[..., None] * fr    # [..,1,1,8]
     k0 = jnp.sum(ld_en[..., None] > borders, -1)            # [S,ch,NB] 0..8
+    # rank 0..NB-1 is reserved for the MS quieter-channel holes below (fdk
+    # opens those FIRST); the energy-ladder ranks start at NB
     hole_rank = jnp.where(hole_cand & (k0 < 8),
-                          k0 * NB + (NB - 1 - pos), 1 << 20)
+                          NB + k0 * NB + (NB - 1 - pos), 1 << 20)
+    if spec.shape[1] == 2:
+        # for MS bands the reference first allows a hole in the QUIETER of
+        # the two channels (allowMoreHoles, adj_thr.cpp:1645-1685: erase ch
+        # q when en_q/en_l < 0.4*minSnr_l), from the top sfb down
+        en0, en1 = en_w[:, 0], en_w[:, 1]
+        quiet1 = en1 <= en0                       # [S, NB]
+        en_q = jnp.where(quiet1, en1, en0)
+        en_l = jnp.where(quiet1, en0, en1)
+        msnr_l = jnp.where(quiet1, minsnr[:, 0], minsnr[:, 1])
+        pref = ms_used & (en_q < 0.4 * msnr_l * en_l)
+        quiet_ch = quiet1.astype(jnp.int32)[:, None, :]
+        pref_c = pref[:, None, :] & \
+            (jnp.arange(2, dtype=jnp.int32)[None, :, None] == quiet_ch)
+        hole_rank = jnp.where(hole_cand & pref_c, NB - 1 - pos, hole_rank)
     hole_thr = 2.0 * en_w
+    # region B (reduceMinSnr, adj_thr.cpp:1520-1600): before erasing bands,
+    # the reference drops the top sfbs' demands to ~1 dB SNR (thr=0.8*en),
+    # highest band first - this is what produces the rising scf ladder with
+    # barely-coded top bands on hard AUs instead of a flat one
+    msnr_cand = bsel_c & ~no_ah & (minsnr < MSNR_FAC)
+    msnr_rank = jnp.broadcast_to(NB - 1 - pos, hole_cand.shape)
+    msnr_thr = MSNR_FAC * en_w
 
     # |x|^(3/4) computed once; the rate loop only rescales by 2^(-3/16 gain)
     mag075 = jnp.power(jnp.abs(spec), 0.75)
@@ -1093,8 +1122,13 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         thr_red = jnp.power(thr4 + redval, 4.0)
         thr_red = jnp.where(no_ah, thr_red, jnp.minimum(thr_red, cap_thr))
         thr_red = jnp.maximum(thr_red, floor29)
-        # past HOLE_O the offset opens holes in priority order instead of
-        # flattening every band (allowMoreHoles): bits(o) stays monotone
+        # past MSNR_O the top sfbs drop to 1 dB SNR one by one (region B,
+        # reduceMinSnr); past HOLE_O the offset opens holes in priority
+        # order instead of flattening every band (allowMoreHoles).  Both
+        # only ever RAISE thresholds with o: bits(o) stays monotone
+        msnr_on = msnr_cand & \
+            (msnr_rank.astype(dtype) < (o - MSNR_O) * MSNR_RATE)
+        thr_red = jnp.where(msnr_on, jnp.maximum(thr_red, msnr_thr), thr_red)
         hole = hole_rank.astype(dtype) < (o - HOLE_O) * HOLE_RATE
         thr_red = jnp.where(hole, jnp.maximum(thr_red, hole_thr), thr_red)
         if wgt is not None:

@@ -280,6 +280,15 @@ def run_fleet(conf, verbose=0):
                     pads=pads if have_pads else None)
                 audio_seconds += len(members) * nau * 960 / members[0].rate
                 step_xp = None
+            # start the device->host copies now so the transfer overlaps the
+            # other runners' dispatches and this runner's next-step compute
+            for v in out.values():
+                f = getattr(v, "copy_to_host_async", None)
+                if f is not None:
+                    try:
+                        f()
+                    except Exception:
+                        pass
             prev = pending[ri]
             pending[ri] = (out, pcm, step_xp)
             runners[ri] = (kind, members, enc, packer, state)

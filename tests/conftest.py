@@ -30,11 +30,20 @@ SLOW_MODULES = {
     "test_quality", "test_mp2_golden", "test_dabplus", "test_sbr",
     "test_ps", "test_aupack", "test_psy4", "test_blockswitch",
     "test_bitres", "test_pns", "test_churn", "test_cli", "test_edi",
-    "test_dabplus_pad",
+    "test_dabplus_pad", "test_mp2_batch", "test_graft",
+    "test_native_dabpack", "test_binpack", "test_fast_path",
+    "test_framepack", "test_native_pack", "test_polyphase",
+}
+# individually-slow tests in otherwise-fast modules (measured >60 s)
+SLOW_TESTS = {
+    ("test_inputs", "test_cli_restart_on_fault_counts"),
+    ("test_inputs", "test_gst_pipeline_input_encodes"),
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for it in items:
-        if it.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+        mod = it.module.__name__.rsplit(".", 1)[-1]
+        name = getattr(it, "originalname", None) or it.name
+        if mod in SLOW_MODULES or (mod, name) in SLOW_TESTS:
             it.add_marker(pytest.mark.slow)
