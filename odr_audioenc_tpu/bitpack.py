@@ -69,6 +69,63 @@ def scatter_bytes(idx, contrib, n_bytes, L=32, kchunk=16384):
     return out.reshape(*lead, n_bytes)
 
 
+def scatter_slot_vectors(b0, vecs, n_bytes, L=32, kchunk=4096):
+    """Scatter per-slot byte VECTORS: out[.., b0[k] + t] += vecs[.., k, t].
+
+    b0: [..., K] int32 slot start bytes; vecs: [..., K, T] int32 0..255.
+    One entry per SLOT instead of one per (slot, span byte): the einsum
+    contraction is T x smaller than scatter_bytes on span-expanded entries
+    (the AU content pack measured 168 ms of the LC superframe step at
+    S=2048 under the expanded form).  The placement one-hot is built over
+    L+T-1 lanes so vectors may straddle the L boundary; the spill lanes
+    fold into the next row after the contraction (linear, so exact).
+    Entries outside [0, H*L) rows are dropped; zero vecs contribute 0."""
+    lead = b0.shape[:-1]
+    K = b0.shape[-1]
+    T = vecs.shape[-1]
+    B = int(np.prod(lead)) if lead else 1
+    b0 = b0.reshape(B, K)
+    vecs = vecs.reshape(B, K, T)
+    H = -(-n_bytes // L)
+    Lp = L + T - 1
+    ok = (b0 >= 0) & (b0 < H * L)
+    hi = jnp.where(ok, b0 // L, H)          # row H collects dropped slots
+    lo = jnp.where(ok, b0 % L, 0)
+    pad = (-K) % kchunk if K > kchunk else 0
+    if pad:
+        hi = jnp.pad(hi, ((0, 0), (0, pad)), constant_values=H)
+        lo = jnp.pad(lo, ((0, 0), (0, pad)))
+        vecs = jnp.pad(vecs, ((0, 0), (0, pad), (0, 0)))
+    Kp = hi.shape[1]
+    nc = max(1, Kp // kchunk)
+
+    def chunk(h, l, v):
+        A = jax.nn.one_hot(h, H + 1, dtype=jnp.bfloat16)
+        Bm = jnp.zeros(l.shape + (Lp,), jnp.bfloat16)
+        for t in range(T):
+            Bm = Bm + jax.nn.one_hot(l + t, Lp, dtype=jnp.bfloat16) \
+                * v[..., t, None].astype(jnp.bfloat16)
+        return jnp.einsum("skh,skl->shl", A, Bm,
+                          preferred_element_type=jnp.float32)
+
+    if nc > 1:
+        h = hi.reshape(B, nc, -1).swapaxes(0, 1)
+        l = lo.reshape(B, nc, -1).swapaxes(0, 1)
+        v = vecs.reshape(B, nc, -1, T).swapaxes(0, 1)
+        acc, _ = jax.lax.scan(
+            lambda a, xs: (a + chunk(*xs), None),
+            jnp.zeros((B, H + 1, Lp), jnp.float32), (h, l, v))
+    else:
+        acc = chunk(hi, lo, vecs)
+    out = acc[:, :H, :L]
+    if T > 1:
+        # lanes L..Lp-1 of row h belong to row h+1 (straddling vectors);
+        # spill past the last row is out of range by construction
+        out = out.at[:, 1:, :T - 1].add(acc[:, :H - 1, L:])
+    out = jnp.round(out).astype(jnp.int32).reshape(B, H * L)[:, :n_bytes]
+    return out.reshape(*lead, n_bytes)
+
+
 def _mask_to_width(values, widths):
     """Mask each value to its width so an out-of-range input degrades the
     same way the host BitWriter does (truncation, no carry corruption)."""
@@ -97,7 +154,8 @@ def pack_groups(groups, n_bytes, raw=None, bit_base=None, **mm_kw):
     start = end - widths
     total_bits = end[..., -1]
 
-    idx_parts, con_parts = [], []
+    t_max = max(g[2] for g in groups)
+    b0_parts, vec_parts = [], []
     off = 0
     for g_w, _, spans in groups:
         k = g_w.shape[-1]
@@ -108,23 +166,29 @@ def pack_groups(groups, n_bytes, raw=None, bit_base=None, **mm_kw):
         s = start[..., sl]
         b0 = s >> 3
         last_b = (e - 1) >> 3
-        for t in range(spans):
+        lanes = []
+        for t in range(t_max):
+            if t >= spans:
+                lanes.append(jnp.zeros_like(v))
+                continue
             bt = b0 + t
             sh = e - 8 * (bt + 1)
             c = jnp.where(sh >= 0,
                           (v >> jnp.minimum(sh, 24)) & 0xFF,
                           (v << jnp.minimum(-sh, 8)) & 0xFF)
             ok = (w > 0) & (bt <= last_b)
-            idx_parts.append(jnp.where(ok, bt, n_bytes + 31))
-            con_parts.append(jnp.where(ok, c, 0))
+            lanes.append(jnp.where(ok, c, 0))
+        b0_parts.append(b0)
+        vec_parts.append(jnp.stack(lanes, axis=-1))
         off += k
+    b0 = jnp.concatenate(b0_parts, axis=-1)
+    vecs = jnp.concatenate(vec_parts, axis=-2)
+    payload = scatter_slot_vectors(b0, vecs, n_bytes, **mm_kw)
     if raw:
-        for ridx, rval in raw:
-            idx_parts.append(ridx)
-            con_parts.append(rval & 0xFF)
-    idx = jnp.concatenate(idx_parts, axis=-1)
-    con = jnp.concatenate(con_parts, axis=-1)
-    payload = scatter_bytes(idx, con, n_bytes, **mm_kw)
+        idx = jnp.concatenate([r[0] for r in raw], axis=-1)
+        con = jnp.concatenate([r[1] & 0xFF for r in raw], axis=-1)
+        payload = payload + scatter_bytes(idx, con, n_bytes,
+                                          kchunk=mm_kw.get("kchunk", 16384))
     return payload, total_bits
 
 

@@ -271,6 +271,39 @@ def _lut_cols(idx, tab_np, n):
     return [out[..., j] for j in range(tab_np.shape[1])]
 
 
+@lru_cache(maxsize=None)
+def _pair_tables_np():
+    """Books 7..11's (len, code_hi, code_lo) columns folded onto book-11's
+    17x17 clipped index domain and merged, so ONE bilinear one-hot pair
+    serves all five tables (entries past a book's limit are never selected
+    - the band's book is only chosen when its magnitude limit holds)."""
+    tabs = _code_tables()
+
+    def fold(t, lim):
+        m = np.asarray(t).reshape(lim + 1, lim + 1, -1)
+        a = np.minimum(np.arange(17), lim)
+        return m[np.ix_(a, a)].reshape(289, -1)
+
+    return np.concatenate([fold(tabs["p78"], 7), fold(tabs["p910"], 12),
+                           np.asarray(tabs["p11"]).reshape(289, -1)],
+                          axis=-1)  # [289, 15]
+
+
+def _lut_cols2(ia, ib, tab_np, n):
+    """Bilinear table lookup: cols(a, b) = one_hot(a) @ M picked by
+    one_hot(b) - avoids materialising [.., n^2] one-hots (the flat 289-wide
+    form was the AU pack's HBM hot spot).  Entries < 256: bf16-exact."""
+    C = tab_np.shape[-1]
+    oh_a = jax.nn.one_hot(ia, n, dtype=jnp.bfloat16)
+    oh_b = jax.nn.one_hot(ib, n, dtype=jnp.bfloat16)
+    m2 = jnp.asarray(np.asarray(tab_np).reshape(n, n * C), jnp.bfloat16)
+    v = jnp.matmul(oh_a, m2, preferred_element_type=jnp.float32)
+    v = v.reshape(v.shape[:-1] + (n, C))
+    out = (v * oh_b[..., None].astype(jnp.float32)).sum(-2)
+    out = jnp.round(out).astype(jnp.int32)
+    return [out[..., j] for j in range(C)]
+
+
 # ---------------------------------------------------------------------------
 # static per-config context
 # ---------------------------------------------------------------------------
@@ -480,31 +513,30 @@ def _spectral_groups(ctx, q, books, is_short):
     aq2 = aq.reshape(S, 480, 2)
     tabs = _code_tables()
 
-    # quad indices/codes (books 1..4) at quad granularity
+    # quad indices/codes (books 1..4) at quad granularity; the quad index
+    # i = ((c0*3+c1)*3+c2)*3+c3 factors as (c0*3+c1)*9 + (c2*3+c3), so the
+    # lookup is bilinear over two 9-wide one-hots
     c1 = jnp.clip(q4 + 1, 0, 2)
-    i1 = ((c1[..., 0] * 3 + c1[..., 1]) * 3 + c1[..., 2]) * 3 + c1[..., 3]
+    a1 = c1[..., 0] * 3 + c1[..., 1]
+    b1 = c1[..., 2] * 3 + c1[..., 3]
     c3 = jnp.clip(aq4, 0, 2)
-    i3 = ((c3[..., 0] * 3 + c3[..., 1]) * 3 + c3[..., 2]) * 3 + c3[..., 3]
-    l1, h1, lo1, l2, h2, lo2 = _lut_cols(i1, tabs["q12"], 81)
-    l3, h3, lo3, l4, h4, lo4 = _lut_cols(i3, tabs["q34"], 81)
+    a3 = c3[..., 0] * 3 + c3[..., 1]
+    b3 = c3[..., 2] * 3 + c3[..., 3]
+    l1, h1, lo1, l2, h2, lo2 = _lut_cols2(a1, b1, tabs["q12"], 9)
+    l3, h3, lo3, l4, h4, lo4 = _lut_cols2(a3, b3, tabs["q34"], 9)
     cw1 = (h1 << 8) | lo1
     cw2 = (h2 << 8) | lo2
     cw3 = (h3 << 8) | lo3
     cw4 = (h4 << 8) | lo4
 
-    # pair indices/codes
+    # pair indices/codes; books 7..11 share one 17-wide one-hot pair
     c5 = jnp.clip(q2 + 4, 0, 8)
-    i5 = c5[..., 0] * 9 + c5[..., 1]
-    l5, h5, lo5, l6, h6, lo6 = _lut_cols(i5, tabs["p56"], 81)
-    c7 = jnp.clip(aq2, 0, 7)
-    i7 = c7[..., 0] * 8 + c7[..., 1]
-    l7, h7, lo7, l8, h8, lo8 = _lut_cols(i7, tabs["p78"], 64)
-    c9 = jnp.clip(aq2, 0, 12)
-    i9 = c9[..., 0] * 13 + c9[..., 1]
-    l9, h9, lo9, l10, h10, lo10 = _lut_cols(i9, tabs["p910"], 169)
+    l5, h5, lo5, l6, h6, lo6 = _lut_cols2(c5[..., 0], c5[..., 1],
+                                          tabs["p56"], 9)
     c11 = jnp.clip(aq2, 0, 16)
-    i11 = c11[..., 0] * 17 + c11[..., 1]
-    l11, h11, lo11 = _lut_cols(i11, tabs["p11"], 289)
+    (l7, h7, lo7, l8, h8, lo8, l9, h9, lo9, l10, h10, lo10,
+     l11, h11, lo11) = _lut_cols2(c11[..., 0], c11[..., 1],
+                                  _pair_tables_np(), 17)
     cw5 = (h5 << 8) | lo5
     cw6 = (h6 << 8) | lo6
     cw7 = (h7 << 8) | lo7

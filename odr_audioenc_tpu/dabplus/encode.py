@@ -32,6 +32,7 @@ HOLE_O = 8            # rate-loop offset where allowMoreHoles band erasure
 HOLE_RATE = 14.0      # priority ranks opened per offset step past HOLE_O
 SPILL_O = 40          # rate-loop offset where uniform spill-degradation
                       # takes over from the capped threshold reduction
+BISECT_STEPS = None   # profiling override for the rate-loop bisect depth
 REFINE_ROUNDS = 2     # afterburner refinement rounds (-A disables via
                       # encode_au(refine_rounds=0); AACENC_AFTERBURNER)
 REFINE_BANDS = 4      # worst-NMR bands refined per round
@@ -204,6 +205,19 @@ class BandCtx:
                               preferred_element_type=jnp.float32)
         return self._sel(mm(self.oh_l), lambda: mm(self.oh_s))
 
+    def count4(self, ind):
+        """like count, over 4-line groups: ind [..., 240, K] (groups never
+        straddle bands, so the quad-max fold is exact).  f32 operands: the
+        CPU backend's dot thunk rejects bf16 x bf16 -> f32 on the strided
+        one-hot slice, and the tensors are 4x smaller than count's anyway."""
+        ind = ind.astype(jnp.float32)
+
+        def mm(oh):
+            return jnp.einsum("...nc,nb->...bc", ind,
+                              oh[::4].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        return self._sel(mm(self.oh_l), lambda: mm(self.oh_s))
+
     def to_lines(self, band_vals):
         """band_vals [..., NB] -> [..., 960] via band_of_line."""
         return self._sel(band_vals[..., self.bol],
@@ -350,23 +364,55 @@ _LEN_PAIR910 = np.stack([AT.HUFF_LEN[9].reshape(-1), AT.HUFF_LEN[10].reshape(-1)
 _LEN_PAIR11 = AT.HUFF_LEN[11].reshape(-1)
 
 
-def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False):
+def _fold17(table, lim):
+    """Fold a (lim+1)^2 pair length table into 17x17 over book-11's clipped
+    index domain (entries past lim are unreachable when the book is valid,
+    so their value is free)."""
+    t = np.asarray(table).reshape(lim + 1, lim + 1)
+    a = np.minimum(np.arange(17), lim)
+    return t[np.ix_(a, a)].reshape(-1)
+
+
+_FOLDED_PAIR = [_fold17(_LEN_PAIR78[0], 7), _fold17(_LEN_PAIR78[1], 7),
+                _fold17(_LEN_PAIR910[0], 12), _fold17(_LEN_PAIR910[1], 12),
+                _LEN_PAIR11]
+
+
+def _folded_pair_tables():
+    return _FOLDED_PAIR
+
+
+def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False,
+                            fast=False):
     """Per-band best codebook + bit cost (bit_cnt.cpp re-expression).
 
     q: [..., 960] int32; bctx: BandCtx; bandsel: [..., NB] valid-band mask.
     Returns (books [..., NB], bits [..., NB]).
     Tables are flattened so every codebook costs a single small gather; band
     reductions ride the MXU as f32 matmuls.
+
+    fast=True counts only the odd codebooks {1,3,5,7,9,11} - a tight upper
+    bound (the even books are alternate tables over the same magnitude
+    ranges) used by the rate loop's bisect phase, which only needs totals.
     """
     aq = jnp.abs(q)
 
+    shp = q.shape[:-1]
+    q4 = q.reshape(*shp, 240, 4)
+    aq4 = aq.reshape(*shp, 240, 4)
+    q2 = q.reshape(*shp, 480, 2)
+    aq2 = aq.reshape(*shp, 480, 2)
+    # quads/pairs never straddle bands: sfb widths %4 == 0 in both the long
+    # ladder and the window-major short layout (window starts are %4 == 0)
+
     # per-book validity via violation COUNTS instead of a per-band max (the
-    # [.., 960, NB] max tensor was the bandwidth hot spot): for each distinct
-    # book limit, count in-band lines exceeding it with one bf16 MXU matmul
-    # (0/1 values and small-int tables are exact in bf16; accumulate in f32)
+    # [.., 960, NB] max tensor was the bandwidth hot spot); folding each
+    # 4-line group to its max first shrinks the count matmul 4x (groups
+    # never straddle bands).  0/1 values are exact in bf16, f32 accumulate.
     lav_dist = jnp.asarray([0, 1, 2, 4, 7, 12], jnp.int32)
-    ind = (aq[..., None] > lav_dist).astype(jnp.bfloat16)     # [.., 960, 6]
-    cnt = bctx.count(ind)                                     # [.., NB, 6]
+    aq4max = aq4.max(-1)                                      # [.., 240]
+    ind = (aq4max[..., None] > lav_dist).astype(jnp.bfloat16)
+    cnt = bctx.count4(ind)                                    # [.., NB, 6]
     ok_dist = cnt < 0.5
     # book -> distinct-lav column: 0:0, 1/2:1, 3/4:2, 5/6:3, 7/8:4, 9/10:5,
     # 11: always valid (q is clipped to the book-11 escape limit)
@@ -378,14 +424,6 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False):
                     ok_dist[..., 5], ok_dist[..., 5],
                     jnp.ones_like(ok_dist[..., 0])], axis=-1)  # [.., NB, 12]
 
-    shp = q.shape[:-1]
-    q4 = q.reshape(*shp, 240, 4)
-    aq4 = aq.reshape(*shp, 240, 4)
-    q2 = q.reshape(*shp, 480, 2)
-    aq2 = aq.reshape(*shp, 480, 2)
-    # quads/pairs never straddle bands: sfb widths %4 == 0 in both the long
-    # ladder and the window-major short layout (window starts are %4 == 0)
-
     def bsum4(x):
         return bctx.bsum(x, 4)
 
@@ -395,41 +433,72 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False):
     signs4 = jnp.sum(aq4 != 0, axis=-1)
     signs2 = jnp.sum(aq2 != 0, axis=-1)
 
-    def lut(table_rows, idx, n):
-        """table lookup as one-hot matmul (gathers are slow on TPU; a
-        [.., n] one-hot x [n, k] table rides the MXU).  Codeword lengths are
-        small integers - exact in bf16 with f32 accumulation."""
-        ohx = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
-        t = jnp.asarray(np.stack(table_rows, -1), jnp.bfloat16)  # [n, k]
-        out = jnp.matmul(ohx, t, preferred_element_type=jnp.float32)
+    def lut2(table_rows, ia, ib, n):
+        """Bilinear table lookup: len(a, b) = one_hot(a) @ M selected by
+        one_hot(b).  A flat [.., n^2] one-hot (up to 289 wide for book 11)
+        was the rate loop's HBM hot spot - the factorized form touches
+        [.., n] tensors instead (measured 5.5 -> ~1 ms per bit-count eval
+        at [2048, 2, 960]).  Lengths are small ints: exact in bf16 with
+        f32 accumulation."""
+        k = len(table_rows)
+        oh_a = jax.nn.one_hot(ia, n, dtype=jnp.bfloat16)
+        oh_b = jax.nn.one_hot(ib, n, dtype=jnp.bfloat16)
+        ms = np.stack([np.asarray(t).reshape(n, n)
+                       for t in table_rows], -1)            # [a, b, k]
+        m2 = jnp.asarray(ms.reshape(n, n * k), jnp.bfloat16)
+        v = jnp.matmul(oh_a, m2, preferred_element_type=jnp.float32)
+        v = v.reshape(v.shape[:-1] + (n, k))                # [.., b, k]
+        out = (v * oh_b[..., None].astype(jnp.float32)).sum(-2)
         return [jnp.round(out[..., j]).astype(jnp.int32)
-                for j in range(len(table_rows))]
+                for j in range(k)]
 
     c1 = jnp.clip(q4 + 1, 0, 2)
-    i1 = ((c1[..., 0] * 3 + c1[..., 1]) * 3 + c1[..., 2]) * 3 + c1[..., 3]
+    a1 = c1[..., 0] * 3 + c1[..., 1]
+    b1 = c1[..., 2] * 3 + c1[..., 3]
     c3 = jnp.clip(aq4, 0, 2)
-    i3 = ((c3[..., 0] * 3 + c3[..., 1]) * 3 + c3[..., 2]) * 3 + c3[..., 3]
-    l1, l2 = lut([_LEN_QUAD[0], _LEN_QUAD[1]], i1, 81)
-    l3, l4 = lut([_LEN_QUAD[2], _LEN_QUAD[3]], i3, 81)
-    l3, l4 = l3 + signs4, l4 + signs4
-
+    a3 = c3[..., 0] * 3 + c3[..., 1]
+    b3 = c3[..., 2] * 3 + c3[..., 3]
     c5 = jnp.clip(q2 + 4, 0, 8)
-    i5 = c5[..., 0] * 9 + c5[..., 1]
-    l5, l6 = lut([_LEN_PAIR56[0], _LEN_PAIR56[1]], i5, 81)
     c7 = jnp.clip(aq2, 0, 7)
-    i7 = c7[..., 0] * 8 + c7[..., 1]
-    l7, l8 = lut([_LEN_PAIR78[0], _LEN_PAIR78[1]], i7, 64)
-    l7, l8 = l7 + signs2, l8 + signs2
     c9 = jnp.clip(aq2, 0, 12)
-    i9 = c9[..., 0] * 13 + c9[..., 1]
-    l9, l10 = lut([_LEN_PAIR910[0], _LEN_PAIR910[1]], i9, 169)
-    l9, l10 = l9 + signs2, l10 + signs2
     c11 = jnp.clip(aq2, 0, 16)
-    i11 = c11[..., 0] * 17 + c11[..., 1]
     esc = jnp.where(aq2 >= 16,
                     2 * jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(aq2, 16).astype(dtype))), 4).astype(jnp.int32) - 3,
                     0).sum(-1)
-    (l11,) = lut([_LEN_PAIR11], i11, 289)
+
+    # books 7..11 all read through ONE 17-wide one-hot pair: books 7-10's
+    # tables are folded into 17x17 (entries past each book's limit are
+    # irrelevant - validity masks them) so one matmul serves five tables
+    if fast:
+        (l1,) = lut2([_LEN_QUAD[0]], a1, b1, 9)
+        (l3,) = lut2([_LEN_QUAD[2]], a3, b3, 9)
+        (l5,) = lut2([_LEN_PAIR56[0]], c5[..., 0], c5[..., 1], 9)
+        l7, l9, l11 = lut2(_folded_pair_tables()[::2],
+                           c11[..., 0], c11[..., 1], 17)
+        bits = jnp.stack([
+            jnp.zeros_like(bsum4(l1)),        # book 0
+            bsum4(l1), bsum4(l3 + signs4),
+            bsum2(l5), bsum2(l7 + signs2),
+            bsum2(l9 + signs2), bsum2(l11 + signs2 + esc),
+        ], axis=-1)                           # [..., NB, 7]
+        ok_f = ok[..., jnp.asarray([0, 1, 3, 5, 7, 9, 11])]
+        cost = jnp.where(ok_f, bits, jnp.asarray(1 << 20, jnp.int32))
+        sel = jnp.argmin(cost, axis=-1)
+        books = jnp.asarray([0, 1, 3, 5, 7, 9, 11], jnp.int32)[sel]
+        bbits = jnp.min(cost, axis=-1)
+        books = jnp.where(bandsel, books, 0)
+        bbits = jnp.where(bandsel, bbits, 0)
+        return books, bbits
+
+    l1, l2 = lut2([_LEN_QUAD[0], _LEN_QUAD[1]], a1, b1, 9)
+    l3, l4 = lut2([_LEN_QUAD[2], _LEN_QUAD[3]], a3, b3, 9)
+    l3, l4 = l3 + signs4, l4 + signs4
+    l5, l6 = lut2([_LEN_PAIR56[0], _LEN_PAIR56[1]],
+                  c5[..., 0], c5[..., 1], 9)
+    l7, l8, l9, l10, l11 = lut2(_folded_pair_tables(),
+                                c11[..., 0], c11[..., 1], 17)
+    l7, l8 = l7 + signs2, l8 + signs2
+    l9, l10 = l9 + signs2, l10 + signs2
     l11 = l11 + signs2 + esc
 
     bits = jnp.stack([
@@ -1087,7 +1156,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             books = jnp.where(bandsel_c, books, 0)
             bbits = jnp.where(bandsel_c, bbits, 0)
         else:
-            books, bbits = spectral_bits_and_books(q, bctx, bandsel_c, dtype)
+            books, bbits = spectral_bits_and_books(q, bctx, bandsel_c, dtype,
+                                                   fast=True)
         books = jnp.where(pns_mask, PNS_HCB, books)
         bbits = jnp.where(pns_mask, 0, bbits)
         # transmitted gains: all-zero bands may still get a book > 0 from
@@ -1154,7 +1224,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     # so the smallest fitting offset in [O_LO, O_HI] is found with
     # ceil(log2(range)) exact counts instead of a dense coarse+fine scan
     O_LO, O_HI = -64, 63
-    n_steps = int(np.ceil(np.log2(O_HI - O_LO + 1)))
+    n_steps = BISECT_STEPS if BISECT_STEPS is not None else \
+        int(np.ceil(np.log2(O_HI - O_LO + 1)))
     lo = jnp.full_like(budget_bits, O_LO)
     hi = jnp.full_like(budget_bits, O_HI)
 

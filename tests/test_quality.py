@@ -28,11 +28,18 @@ def _corpus(seconds=12):
                            signals.loud_tones(per)], axis=1)
 
 
-# (rate, subch, ch, aot, max NMR delta dB vs reference) - ratchet margins
+# (rate, subch, ch, aot, max NMR delta dB vs reference) - ratchet margins,
+# set just above the round-3 achieved values (full table in PARITY.md)
 POINTS = [
-    (48000, 12, 2, "lc", 8.5),    # achieved +7.1
-    (48000, 6, 1, "sbr", 5.0),    # achieved +3.9
-    (48000, 4, 2, "ps", 0.0),     # achieved -2.0 (beats the reference)
+    (48000, 12, 2, "lc", 7.6),    # achieved +7.26
+    (48000, 14, 2, "lc", 5.5),    # achieved +5.20
+    (48000, 16, 2, "lc", 5.0),    # achieved +4.56
+    (48000, 4, 1, "sbr", 2.5),    # achieved +2.19
+    (48000, 6, 1, "sbr", 4.2),    # achieved +3.93
+    (48000, 8, 1, "sbr", 0.5),    # achieved +0.06
+    (48000, 3, 2, "ps", -2.5),    # achieved -2.78 (beats the reference)
+    (48000, 4, 2, "ps", -1.2),    # achieved -1.44 (beats the reference)
+    (48000, 6, 2, "ps", 3.4),     # achieved +3.14
 ]
 
 
