@@ -1152,7 +1152,11 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             sb = sect_hdr_c[..., None] if short_ctx is not None else SECT_BITS
             books = optimal_books(cost, bandsel_c & ~pns_mask, sect_bits=sb,
                                   force_break=fb_c)
-            bbits = jnp.take_along_axis(cost, books[..., None], -1)[..., 0]
+            # masked sum, not take_along_axis: a [S,2,NB] gather measured
+            # 0.7 ms/AU on TPU (profiled fusion.3917) vs ~0 for the select
+            bbits = jnp.sum(jnp.where(books[..., None] ==
+                                      jnp.arange(cost.shape[-1]), cost, 0),
+                            axis=-1)
             books = jnp.where(bandsel_c, books, 0)
             bbits = jnp.where(bandsel_c, bbits, 0)
         else:
