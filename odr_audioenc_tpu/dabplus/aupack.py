@@ -292,16 +292,27 @@ def _pair_tables_np():
 def _lut_cols2(ia, ib, tab_np, n):
     """Bilinear table lookup: cols(a, b) = one_hot(a) @ M picked by
     one_hot(b) - avoids materialising [.., n^2] one-hots (the flat 289-wide
-    form was the AU pack's HBM hot spot).  Entries < 256: bf16-exact."""
+    form was the AU pack's HBM hot spot).  Each (len, code_hi, code_lo)
+    column triple is packed into ONE f32 (len<<16 | hi<<8 | lo < 2^21,
+    f32-exact): the bilinear select touches 3x fewer columns."""
     C = tab_np.shape[-1]
-    oh_a = jax.nn.one_hot(ia, n, dtype=jnp.bfloat16)
-    oh_b = jax.nn.one_hot(ib, n, dtype=jnp.bfloat16)
-    m2 = jnp.asarray(np.asarray(tab_np).reshape(n, n * C), jnp.bfloat16)
-    v = jnp.matmul(oh_a, m2, preferred_element_type=jnp.float32)
-    v = v.reshape(v.shape[:-1] + (n, C))
-    out = (v * oh_b[..., None].astype(jnp.float32)).sum(-2)
-    out = jnp.round(out).astype(jnp.int32)
-    return [out[..., j] for j in range(C)]
+    assert C % 3 == 0
+    t = np.asarray(tab_np).astype(np.int64).reshape(n, n, C // 3, 3)
+    assert t[..., 0].max() < 32 and t[..., 1:].max() < 256
+    packed = ((t[..., 0] << 16) | (t[..., 1] << 8)
+              | t[..., 2]).astype(np.float32)             # [a, b, C/3]
+    P = C // 3
+    oh_a = jax.nn.one_hot(ia, n, dtype=jnp.float32)
+    oh_b = jax.nn.one_hot(ib, n, dtype=jnp.float32)
+    m2 = jnp.asarray(packed.reshape(n, n * P), jnp.float32)
+    v = jnp.matmul(oh_a, m2).reshape(oh_a.shape[:-1] + (n, P))
+    out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b)
+                    ).astype(jnp.int32)
+    cols = []
+    for j in range(P):
+        p = out[..., j]
+        cols.extend([p >> 16, (p >> 8) & 0xFF, p & 0xFF])
+    return cols
 
 
 # ---------------------------------------------------------------------------
@@ -607,8 +618,9 @@ def _spectral_groups(ctx, q, books, is_short):
     # book-11 escapes per line of the pair: prefix (n-3 ones, one zero) then
     # a - 2^n in n bits, n = bit_length(a) - 1 (host _write_spectrum)
     is11 = bk4 == 11
-    n_esc = jnp.floor(jnp.log2(jnp.maximum(aq2, 16).astype(jnp.float32))
-                      ).astype(jnp.int32)
+    # floor(log2) via the f32 exponent field (exact for ints < 2^24)
+    n_esc = (jax.lax.bitcast_convert_type(
+        jnp.maximum(aq2, 16).astype(jnp.float32), jnp.int32) >> 23) - 127
     esc_on = is11[..., None] & (aq2 >= 16)
     w_esc = jnp.where(esc_on, 2 * n_esc - 3, 0)
     v_esc = jnp.where(esc_on,

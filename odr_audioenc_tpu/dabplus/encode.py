@@ -219,9 +219,17 @@ class BandCtx:
         return self._sel(mm(self.oh_l), lambda: mm(self.oh_s))
 
     def to_lines(self, band_vals):
-        """band_vals [..., NB] -> [..., 960] via band_of_line."""
-        return self._sel(band_vals[..., self.bol],
-                         lambda: band_vals[..., self.bol_s])
+        """band_vals [..., NB] -> [..., 960] via band_of_line.  Expressed
+        as a matmul with the 0/1 band matrix (exact: exactly one term per
+        line) - the indexed gather costs ~1 ms/call on TPU."""
+        if band_vals.dtype == jnp.bool_:
+            out = self._sel(
+                band_vals.astype(jnp.float32) @ self.band_m.astype(jnp.float32),
+                lambda: band_vals.astype(jnp.float32)
+                @ self.band_m_s.astype(jnp.float32))
+            return out > 0.5
+        return self._sel(band_vals @ self.band_m.astype(band_vals.dtype),
+                         lambda: band_vals @ self.band_m_s.astype(band_vals.dtype))
 
 
 def spread_thresholds(en, pt, dtype):
@@ -441,16 +449,28 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False,
         at [2048, 2, 960]).  Lengths are small ints: exact in bf16 with
         f32 accumulation."""
         k = len(table_rows)
-        oh_a = jax.nn.one_hot(ia, n, dtype=jnp.bfloat16)
-        oh_b = jax.nn.one_hot(ib, n, dtype=jnp.bfloat16)
-        ms = np.stack([np.asarray(t).reshape(n, n)
-                       for t in table_rows], -1)            # [a, b, k]
-        m2 = jnp.asarray(ms.reshape(n, n * k), jnp.bfloat16)
-        v = jnp.matmul(oh_a, m2, preferred_element_type=jnp.float32)
-        v = v.reshape(v.shape[:-1] + (n, k))                # [.., b, k]
-        out = (v * oh_b[..., None].astype(jnp.float32)).sum(-2)
-        return [jnp.round(out[..., j]).astype(jnp.int32)
-                for j in range(k)]
+        oh_a = jax.nn.one_hot(ia, n, dtype=jnp.float32)
+        oh_b = jax.nn.one_hot(ib, n, dtype=jnp.float32)
+        # lengths (< 32) are packed 4-per-f32 column radix-32: the bilinear
+        # select touches 4x fewer columns (f32 is exact to 2^24; the select
+        # sums exactly one nonzero term).  This select-sum was 23% of the
+        # LC device step in the round-3 trace.
+        tabs = [np.asarray(t).reshape(n, n).astype(np.int64)
+                for t in table_rows]
+        packs = []
+        for j0 in range(0, k, 4):
+            acc = np.zeros((n, n), np.int64)
+            for i, t in enumerate(tabs[j0:j0 + 4]):
+                assert t.max() < 32
+                acc |= t << (5 * i)
+            packs.append(acc)
+        mp = np.stack(packs, -1).astype(np.float32)         # [a, b, P]
+        P = len(packs)
+        m2 = jnp.asarray(mp.reshape(n, n * P), jnp.float32)
+        v = jnp.matmul(oh_a, m2).reshape(oh_a.shape[:-1] + (n, P))
+        out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b)
+                        ).astype(jnp.int32)
+        return [(out[..., j // 4] >> (5 * (j % 4))) & 31 for j in range(k)]
 
     c1 = jnp.clip(q4 + 1, 0, 2)
     a1 = c1[..., 0] * 3 + c1[..., 1]
@@ -462,9 +482,12 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False,
     c7 = jnp.clip(aq2, 0, 7)
     c9 = jnp.clip(aq2, 0, 12)
     c11 = jnp.clip(aq2, 0, 16)
-    esc = jnp.where(aq2 >= 16,
-                    2 * jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(aq2, 16).astype(dtype))), 4).astype(jnp.int32) - 3,
-                    0).sum(-1)
+    # floor(log2(a)) via the f32 exponent field (exact for ints < 2^24;
+    # cheaper than the transcendental log2 on the hot path), >= 4 for
+    # a >= 16 so the reference's lower clamp is implicit
+    n_esc = (jax.lax.bitcast_convert_type(
+        jnp.maximum(aq2, 16).astype(jnp.float32), jnp.int32) >> 23) - 127
+    esc = jnp.where(aq2 >= 16, 2 * n_esc - 3, 0).sum(-1)
 
     # books 7..11 all read through ONE 17-wide one-hot pair: books 7-10's
     # tables are folded into 17x17 (entries past each book's limit are
