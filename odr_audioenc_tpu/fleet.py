@@ -269,16 +269,18 @@ def run_fleet(conf, verbose=0):
                 step_xp = xp if have_pads else None
             else:
                 nau = enc.cfg.num_aus
-                pcm = np.zeros((len(members), enc.cfg.channels, nau * 960), np.int16)
+                # SBR/PS AUs cover 1920 full-rate samples (au_samples), LC 960
+                nsamp = nau * enc.cfg.au_samples
+                pcm = np.zeros((len(members), enc.cfg.channels, nsamp), np.int16)
                 pads = []
                 for i, m in enumerate(members):
-                    pcm[i] = m.read_frame(nau * 960)[:enc.cfg.channels]
+                    pcm[i] = m.read_frame(nsamp)[:enc.cfg.channels]
                     pads.append(m.request_pads(nau) if m.pad else [b""] * nau)
                 have_pads = any(m.pad for m in members)
                 state, out = enc.encode_superframes(
                     state, pcm, pack=False,
                     pads=pads if have_pads else None)
-                audio_seconds += len(members) * nau * 960 / members[0].rate
+                audio_seconds += len(members) * nsamp / members[0].rate
                 step_xp = None
             # start the device->host copies now so the transfer overlaps the
             # other runners' dispatches and this runner's next-step compute

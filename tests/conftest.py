@@ -16,6 +16,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# cli.main() re-applies JAX_PLATFORMS from the environment (to undo site-hook
+# platform hijacks); pin it to cpu so in-process CLI tests stay on CPU even
+# when the session environment points at the axon TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))

@@ -77,6 +77,10 @@ def test_fleet_mixed(tmp_path):
         {"codec": "mp2", "bitrate": 96, "mode": "m", "channels": 1},
         {"codec": "dabplus", "bitrate": 96, "channels": 2},
         {"codec": "dabplus", "bitrate": 96, "channels": 2},
+        # HE-AAC stations: AUs cover 1920 full-rate samples, which the
+        # fleet loop must size via cfg.au_samples (regression: BENCH_r03)
+        {"codec": "dabplus", "bitrate": 48, "channels": 1},   # auto -> SBR
+        {"codec": "dabplus", "bitrate": 32, "channels": 2},   # auto -> PS
     ]):
         ch = spec.get("channels", 1 if spec.get("mode") == "m" else 2)
         sig = music_like(15, stereo=(ch == 2), seed=100 + i)
@@ -92,8 +96,15 @@ def test_fleet_mixed(tmp_path):
     conf_path.write_text(json.dumps({"streams": streams}))
     rc = cli_main(["--streams", str(conf_path), "-o", "ignored"])
     assert rc == 0
-    for i in range(5):
-        assert (tmp_path / f"out{i}.bin").stat().st_size > 0
+    for i, spec in enumerate(streams):
+        data = (tmp_path / f"out{i}.bin").read_bytes()
+        assert len(data) > 0
+        if spec["codec"] == "dabplus":
+            # every superframe must carry a valid RS(120,110) codeword set
+            sflen = 120 * (spec["bitrate"] // 8)
+            assert len(data) % sflen == 0
+            assert superframe_check_rs(
+                np.frombuffer(data[:sflen], np.uint8))
     # stats datagrams arrived as JSON
     msg = json.loads(stats_rx.recv(4096).decode())
     assert "audiolevels" in msg
