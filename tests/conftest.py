@@ -43,11 +43,20 @@ SLOW_TESTS = {
     ("test_inputs", "test_cli_restart_on_fault_counts"),
     ("test_inputs", "test_gst_pipeline_input_encodes"),
 }
+# codec-correctness canaries promoted INTO the fast tier (one golden MP2
+# config, one device-aupack byte-equivalence case) so the <3-min gate can
+# catch a codec regression, not just infra breakage
+FAST_OVERRIDES = {
+    ("test_mp2_golden", "test_golden[music_48s_128_j_psy1]"),
+    ("test_aupack", "test_device_pack_matches_host[False-case0]"),
+}
 
 
 def pytest_collection_modifyitems(config, items):
     for it in items:
         mod = it.module.__name__.rsplit(".", 1)[-1]
         name = getattr(it, "originalname", None) or it.name
+        if (mod, it.name) in FAST_OVERRIDES:
+            continue
         if mod in SLOW_MODULES or (mod, name) in SLOW_TESTS:
             it.add_marker(pytest.mark.slow)
