@@ -38,6 +38,15 @@ REFINE_ROUNDS = 2     # afterburner refinement rounds (-A disables via
 REFINE_BANDS = 4      # worst-NMR bands refined per round
 
 
+def _mmdt():
+    """Matmul dtype for the 0/1 one-hot reductions: bf16 rides the MXU on
+    TPU; the CPU backend's DotThunk rejects standalone bf16 x bf16 -> f32
+    dots (they surface un-fused inside lax.cond branches), so tests fall
+    back to f32.  Values are small ints - exact either way."""
+    import jax
+    return jnp.float32 if jax.default_backend() == "cpu" else _mmdt()
+
+
 TNS_MAX_ORDER = 12      # LC long windows (14496-3 table 4.156)
 TNS_GAIN_THRESH = 1.437  # aacenc_tns.cpp:447 threshOn[HIFILT]=1437 (/1000)
 TNS_LO_ORDER = 5         # aacenc_tns.cpp:451 tnsLimitOrder[LOFILT]=maxOrder-7
@@ -167,12 +176,12 @@ class BandCtx:
     def __init__(self, band_m, bol, short_ctx=None, is_short=None):
         self.band_m = band_m
         self.bol = bol
-        self.oh_l = jax.nn.one_hot(bol, NB, dtype=jnp.bfloat16)
+        self.oh_l = jax.nn.one_hot(bol, NB, dtype=_mmdt())
         self.short = short_ctx is not None and is_short is not None
         if self.short:
             self.band_m_s = short_ctx["band_m"]
             self.bol_s = short_ctx["bol"]
-            self.oh_s = jax.nn.one_hot(self.bol_s, NB, dtype=jnp.bfloat16)
+            self.oh_s = jax.nn.one_hot(self.bol_s, NB, dtype=_mmdt())
             self.t = is_short  # [S] bool
 
     def _sel(self, long_v, short_fn):
@@ -193,7 +202,7 @@ class BandCtx:
     def bsum(self, x, stride):
         """int band sums of per-codeword costs: x [..., 960//stride]."""
         def mm(oh):
-            return jnp.round(jnp.matmul(x.astype(jnp.bfloat16), oh[::stride],
+            return jnp.round(jnp.matmul(x.astype(_mmdt()), oh[::stride],
                                         preferred_element_type=jnp.float32))
         out = self._sel(mm(self.oh_l), lambda: mm(self.oh_s))
         return out.astype(jnp.int32)
@@ -419,7 +428,7 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False,
     # never straddle bands).  0/1 values are exact in bf16, f32 accumulate.
     lav_dist = jnp.asarray([0, 1, 2, 4, 7, 12], jnp.int32)
     aq4max = aq4.max(-1)                                      # [.., 240]
-    ind = (aq4max[..., None] > lav_dist).astype(jnp.bfloat16)
+    ind = (aq4max[..., None] > lav_dist).astype(_mmdt())
     cnt = bctx.count4(ind)                                    # [.., NB, 6]
     ok_dist = cnt < 0.5
     # book -> distinct-lav column: 0:0, 1/2:1, 3/4:2, 5/6:3, 7/8:4, 9/10:5,
@@ -721,15 +730,15 @@ def side_info_bits(books, gains, bandsel, dtype, sect_hdr=None,
              prev_i[..., :-1]], axis=-1)
         # values at prev via one-hot bf16 matmul (gather-free; small ints
         # are exact in bf16 with f32 accumulation)
-        p_oh = jax.nn.one_hot(jnp.maximum(prev_i, 0), nb, dtype=jnp.bfloat16)
+        p_oh = jax.nn.one_hot(jnp.maximum(prev_i, 0), nb, dtype=_mmdt())
         v_prev = jnp.round(jnp.einsum("...kj,...j->...k", p_oh,
-                                      values.astype(jnp.bfloat16),
+                                      values.astype(_mmdt()),
                                       preferred_element_type=jnp.float32)
                            ).astype(jnp.int32)
         delta = jnp.clip(values - v_prev, -60, 60)
         has_prev = prev_i >= 0
-        d_oh = jax.nn.one_hot(delta + 60, 121, dtype=jnp.bfloat16)
-        lens = jnp.round(d_oh @ jnp.asarray(AT.HUFF_LEN_SCF, jnp.bfloat16)
+        d_oh = jax.nn.one_hot(delta + 60, 121, dtype=_mmdt())
+        lens = jnp.round(d_oh @ jnp.asarray(AT.HUFF_LEN_SCF, _mmdt())
                          ).astype(jnp.int32)
         bits = jnp.where(member & has_prev, lens, 0).sum(-1)
         fc = jnp.asarray(AT.HUFF_LEN_SCF)[60] if first_cost is None else first_cost
@@ -1160,20 +1169,25 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
             scf_corr + jnp.round(8.8585 * (log_thr - jnp.log10(
                 jnp.maximum(dist, 1e-30)))), -16.0, 0.0)
 
-    def count_for_gains(gains, use_dp=True):
+    def count_for_gains(gains, use_dp=True, keep=None, want_bbits=False):
         """Quantize + exact bit count at explicit per-band gains.  With
         use_dp the sectioning DP (dyn_bits analogue) finds jointly-optimal
         codebooks; without it the per-band argmin is a safe upper bound
-        (used in the coarse bracket pass only)."""
+        (used in the coarse bracket pass only).  keep: optional [S, ch, NB]
+        bool - bands outside it are zeroed entirely (crash recovery)."""
         scale = bctx.to_lines(jnp.exp2(-0.1875 * gains.astype(dtype)))
         q = jnp.clip(jnp.floor(mag075 * scale + 0.4054).astype(jnp.int32), 0, 8191)
         q = jnp.where(neg, -q, q)
         q = jnp.where(pns_line, 0, q)             # no spectral data for PNS
+        pns_eff = pns_mask
+        if keep is not None:
+            q = jnp.where(bctx.to_lines(keep), q, 0)
+            pns_eff = pns_mask & keep
         if use_dp:
             cost, _ = spectral_bits_and_books(q, bctx, bandsel_c,
                                               dtype, return_cost=True)
             sb = sect_hdr_c[..., None] if short_ctx is not None else SECT_BITS
-            books = optimal_books(cost, bandsel_c & ~pns_mask, sect_bits=sb,
+            books = optimal_books(cost, bandsel_c & ~pns_eff, sect_bits=sb,
                                   force_break=fb_c)
             # masked sum, not take_along_axis: a [S,2,NB] gather measured
             # 0.7 ms/AU on TPU (profiled fusion.3917) vs ~0 for the select
@@ -1185,18 +1199,18 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         else:
             books, bbits = spectral_bits_and_books(q, bctx, bandsel_c, dtype,
                                                    fast=True)
-        books = jnp.where(pns_mask, PNS_HCB, books)
-        bbits = jnp.where(pns_mask, 0, bbits)
+        books = jnp.where(pns_eff, PNS_HCB, books)
+        bbits = jnp.where(pns_eff, 0, bbits)
         # transmitted gains: all-zero bands may still get a book > 0 from
         # the sectioning DP (merging saves header bits), so their scf enters
         # the dpcm chain - clamp THOSE into the nonzero bands' +-60 window
         # (their value is free: scf x zero spectrum reconstructs zero)
-        qnz = (q != 0).astype(jnp.bfloat16)
+        qnz = (q != 0).astype(_mmdt())
         nzb = bctx.count(qnz[..., None])[..., 0] > 0.5
         gmax_nz = jnp.where(nzb, gains, -100).max(-1, keepdims=True)
         gmax_nz = jnp.where(nzb.any(-1, keepdims=True), gmax_nz, 100)
         g_safe = jnp.clip(gains, gmax_nz - 60, gmax_nz)
-        g_tx = jnp.where(pns_mask, pns_nrg,
+        g_tx = jnp.where(pns_eff, pns_nrg,
                          jnp.where(nzb, gains, g_safe))
         side = side_info_bits(books, g_tx, bandsel_c, dtype,
                               sect_hdr=sect_hdr_c, force_break=fb_c,
@@ -1204,6 +1218,8 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         ch_bits = (bbits.sum(-1) + side + tns_bits)  # [S, ch]
         total = ch_bits.sum(-1) + elem_fixed + 3  # + ID_END
         total = total + 7  # byte-align worst case
+        if want_bbits:
+            return total, q, books, g_tx, bbits
         return total, q, books, g_tx
 
     def try_offset(o, use_dp=True):
@@ -1299,6 +1315,56 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     if refine_rounds:
         (q, gains, books, bits), _ = jax.lax.scan(
             refine, (q, gains, books, bits), None, length=refine_rounds)
+
+    # ---- per-stream crash recovery (FDKaacEnc_crashRecovery semantics,
+    # qc_main.cpp:1149,1398): if the bisect exhausted its offset range and a
+    # stream's exact count still exceeds its budget, zero spectral bands
+    # from the top sfb down (both channels, like the reference lowering
+    # maxSfb) until that AU fits - degrade ONE stream's frame instead of
+    # aborting the batch.  lax.cond: the heavy recount only executes when an
+    # overflow actually occurred (approximately never).
+    def _recover(ops):
+        q0, g0, books0, bits0 = ops
+        over = bits0 > budget_bits
+        # per-band costs of the over streams' solutions (exact recount of
+        # the current transmitted gains; over streams are degraded anyway,
+        # non-over streams keep their original outputs via the select below)
+        t_full, _, _, _, bb = count_for_gains(g0, want_bbits=True)
+        # cs[K] = spectral bits saved by zeroing bands >= K (both channels)
+        bb_t = bb.sum(-2)                                    # [S, NB]
+        cs = jnp.cumsum(bb_t[..., ::-1], -1)[..., ::-1]      # [S, NB]
+        cs = jnp.concatenate([cs, jnp.zeros_like(cs[..., :1])], -1)  # K=NB
+        # largest keep-count K whose estimate (+64-bit side-info margin,
+        # dropping bands can split at most one section and merge scf deltas)
+        # fits; fit(K) is monotone non-increasing in K
+        fit = (t_full[:, None] - cs + 64) <= budget_bits[:, None]  # [S, NB+1]
+        k_est = jnp.maximum(fit.sum(-1) - 1, 0)              # [S]
+        keep_n = jnp.where(over, k_est, NB)
+        keep = jnp.arange(NB)[None, None, :] < keep_n[:, None, None]
+        t1, q1, books1, g1 = count_for_gains(g0, keep=keep)
+        # guaranteed floor: the all-zero AU (books 0, no scf chain) always
+        # fits any budget the superframe can grant
+        books_z = jnp.zeros_like(books1)
+        g_z = jnp.zeros_like(g1)
+        side_z = side_info_bits(books_z, g_z, bandsel_c, dtype,
+                                sect_hdr=sect_hdr_c, force_break=fb_c,
+                                is_short=is_short_c)
+        t_z = (side_z + tns_bits).sum(-1) + elem_fixed + 3 + 7
+        use_zero = t1 > budget_bits
+        sel = lambda a, b: jnp.where(
+            use_zero.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+        q1 = sel(jnp.zeros_like(q1), q1)
+        g1 = sel(g_z, g1)
+        books1 = sel(books_z, books1)
+        t1 = jnp.where(use_zero, t_z, t1)
+        ov = lambda a, b: jnp.where(
+            over.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+        return (ov(q1, q0), ov(g1, g0), ov(books1, books0),
+                jnp.where(over, t1, bits0))
+
+    q, gains, books, bits = jax.lax.cond(
+        jnp.any(bits > budget_bits), _recover, lambda ops: ops,
+        (q, gains, books, bits))
     # delivered per-band distortion (diagnostic tap; fused away when unused)
     deq_f = jnp.power(jnp.abs(q).astype(dtype), 4.0 / 3.0) * \
         bctx.to_lines(jnp.exp2(0.25 * gains.astype(dtype)))

@@ -521,7 +521,14 @@ class DabPlusEncoder:
             sf, lens = aupack.assemble_superframes(
                 self.aupack_ctx, out["aubuf"].astype(jnp.int32),
                 out["au_bits"], out["crc_part"])
-            out = {"frame": sf, "au_len": lens, "au_bits": out["au_bits"]}
+            # ONE output leaf (the tunnel costs ~9 ms per transfer
+            # regardless of size): superframe bytes | au_len u16le | au_bits
+            # u16le, [S, total(+parity) + 4*nau] uint8
+            ab = out["au_bits"]
+            tail = jnp.concatenate(
+                [lens & 0xFF, (lens >> 8) & 0xFF,
+                 ab & 0xFF, (ab >> 8) & 0xFF], axis=1).astype(jnp.uint8)
+            out = {"wire": jnp.concatenate([sf, tail], axis=1)}
         new_state = dict(state, prev=grans[-1],
                          bitres=jnp.minimum(bitres, self.bitres_max),
                          thr_nm1=thr_nm1, pre_flag=pre_flag,
@@ -576,14 +583,28 @@ class DabPlusEncoder:
         if add_rs is None:
             add_rs, pads = getattr(self, "_pack_args", (True, None))
         out = {k: np.asarray(v) for k, v in out.items()}
-        if "frame" in out:
-            # device-packed superframes: slice rows; core only when !add_rs
-            ab = out["au_bits"]
-            assert (ab <= 8 * self.aupack_ctx.maxcb).all(), \
-                f"AU content {ab.max()} bits exceeds the device pack bound " \
-                f"({8 * self.aupack_ctx.maxcb})"
-            n = self.packer.total if not add_rs else out["frame"].shape[1]
-            return [out["frame"][s, :n].tobytes() for s in range(self.S)]
+        if "wire" in out:
+            # device-packed superframes (single buffer, see
+            # _superframe_step): slice rows; core only when !add_rs
+            nau = self.cfg.num_aus
+            w = out["wire"]
+            t = w[:, -4 * nau:].astype(np.int32)
+            ab = t[:, 2 * nau:3 * nau] | (t[:, 3 * nau:] << 8)
+            if (ab > 8 * self.aupack_ctx.maxcb).any():
+                # should be unreachable: the rate loop's crash recovery
+                # (encode.py _recover) degrades an overflowing stream's AU
+                # to fit.  If it ever fires, that stream's superframe is
+                # corrupt (the decoder drops it via AU CRC) - warn and keep
+                # the batch alive rather than aborting all streams.
+                import sys
+                bad = np.flatnonzero((ab > 8 * self.aupack_ctx.maxcb)
+                                     .any(axis=1))
+                print(f"dabplus: AU content exceeds the device pack bound "
+                      f"({8 * self.aupack_ctx.maxcb} bits) on streams "
+                      f"{bad.tolist()} - emitting corrupt superframes for "
+                      f"those streams", file=sys.stderr)
+            n = self.packer.total if not add_rs else w.shape[1] - 4 * nau
+            return [w[s, :n].tobytes() for s in range(self.S)]
         if use_native:
             from ..host import native
             frames = native.dabplus_pack_batch(self, out, pads, add_rs)

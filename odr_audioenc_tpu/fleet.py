@@ -163,6 +163,21 @@ class _Station:
             self.stats.send_stats()
 
 
+def _chunked_step(step_fn):
+    """jit a k-step scan over a single-frame encode step: ONE device
+    dispatch (and one device->host transfer) covers k frames instead of
+    one.  The per-dispatch tunnel/driver latency - the fleet's bottleneck
+    at small per-group batch sizes - amortises over the chunk; latency
+    rises accordingly, so realtime/PAD configurations keep chunk=1."""
+    import jax
+
+    def multi(state, pcm):                      # pcm: [k, S, ...]
+        def body(st, p):
+            return step_fn(st, p)
+        return jax.lax.scan(body, state, pcm)
+    return jax.jit(multi)
+
+
 def run_fleet(conf, verbose=0):
     import jax.numpy as jnp
     from .mp2.model import Mp2Encoder, make_config
@@ -171,6 +186,8 @@ def run_fleet(conf, verbose=0):
 
     stations = [_Station(s) for s in conf["streams"]]
     realtime = conf.get("realtime", False)
+    # seconds of audio per device dispatch (throughput/latency knob)
+    chunk_s = 0.0 if realtime else float(conf.get("chunk_seconds", 0.96))
     groups = defaultdict(list)
     for st in stations:
         if st.codec == "mp2":
@@ -188,14 +205,37 @@ def run_fleet(conf, verbose=0):
             enc = Mp2Encoder(cfg, psy_model=1, dtype=jnp.float32,
                              pack_on_device="frame")
             packer = Mp2Packer(cfg)
-            runners.append(("mp2", members, enc, packer, enc.init_state()))
+            # chunking needs a pad-free, integer-slot config (X-PAD bytes
+            # and the 44.1k fractional-padding host state are per-frame)
+            k = 1
+            if not any(m.pad for m in members) and \
+                    not (cfg.slots_frac != 0).any():
+                k = max(1, int(round(chunk_s * members[0].rate / 1152.0)))
+            step = None
+            if k > 1:
+                S = len(members)
+
+                def mp2_multi(enc=enc, S=S):
+                    def one(st, p):
+                        return enc._encode_step(
+                            st, p, jnp.zeros((p.shape[0],), jnp.int32))
+                    return _chunked_step(one)
+                step = mp2_multi()
+            runners.append(["mp2", members, enc, packer, enc.init_state(),
+                            k, step])
         else:
             _, rate, bitrate, ch, pad_len, aot = key
             dcfg = DabPlusConfig(rate, bitrate // 8, ch, pad_len=pad_len,
                                  aot=aot)
             enc = DabPlusEncoder(dcfg, n_streams=len(members),
                                  pack_on_device=True)
-            runners.append(("dabplus", members, enc, None, enc.init_state()))
+            k = 1
+            sf_sec = dcfg.num_aus * dcfg.au_samples / rate
+            if not any(m.pad for m in members):
+                k = max(1, int(round(chunk_s / sf_sec)))
+            step = _chunked_step(enc._superframe_step) if k > 1 else None
+            runners.append(["dabplus", members, enc, None, enc.init_state(),
+                            k, step])
 
     t0 = time.perf_counter()
     audio_seconds = 0.0
@@ -207,81 +247,97 @@ def run_fleet(conf, verbose=0):
     pending = [None] * len(runners)
 
     def drain(ri):
-        kind, members, enc, packer, _ = runners[ri]
+        kind, members, enc, packer, _, k, _ = runners[ri]
         if pending[ri] is None:
             return
-        out_dev, pcm, xp = pending[ri]
+        out_dev, peaks, xp = pending[ri]    # peaks: [k, S] int
         pending[ri] = None
+        out_np = {kk: np.asarray(v) for kk, v in out_dev.items()}
         if kind == "mp2":
-            out_np = {k: np.asarray(v) for k, v in out_dev.items()}
-            chunks = packer.emit(out_np, xp)
-            for i, m in enumerate(members):
-                m.mp2_fifo += chunks[i]
-                fl = 3 * m.bitrate
-                peak = int(np.abs(pcm[i].astype(np.int32)).max())
-                while len(m.mp2_fifo) >= fl:
-                    m.send(m.mp2_fifo[:fl], peak)
-                    m.mp2_fifo = m.mp2_fifo[fl:]
-                m.publish(peak, peak)
-                m.frames_done += 1
+            for f in range(k):
+                fr = {kk: v[f] for kk, v in out_np.items()} if k > 1 else out_np
+                chunks = packer.emit(fr, xp)
+                for i, m in enumerate(members):
+                    m.mp2_fifo += chunks[i]
+                    fl = 3 * m.bitrate
+                    peak = int(peaks[f, i])
+                    while len(m.mp2_fifo) >= fl:
+                        m.send(m.mp2_fifo[:fl], peak)
+                        m.mp2_fifo = m.mp2_fifo[fl:]
+                    m.frames_done += 1
         else:
-            frames = enc.pack_superframes(out_dev) \
-                if hasattr(enc, "pack_superframes") else out_dev
-            for i, m in enumerate(members):
-                peak = int(np.abs(pcm[i].astype(np.int32)).max())
-                m.send(frames[i], peak)
-                m.publish(peak, peak)
-                m.frames_done += 1
+            for f in range(k):
+                fr = {kk: v[f] for kk, v in out_np.items()} if k > 1 else out_np
+                frames = enc.pack_superframes(fr)
+                for i, m in enumerate(members):
+                    m.send(frames[i], int(peaks[f, i]))
+                    m.frames_done += 1
+        pk = peaks.max(0)
+        for i, m in enumerate(members):
+            m.publish(int(pk[i]), int(pk[i]))
 
     while True:
         all_eof = all(m.eof for _, members, *_ in runners for m in members)
         if all_eof:
             break
-        for ri, (kind, members, enc, packer, state) in enumerate(runners):
+        for ri, (kind, members, enc, packer, state, k, kstep) in \
+                enumerate(runners):
             if all(m.eof for m in members):
                 drain(ri)
                 continue
+            S = len(members)
             if kind == "mp2":
-                pcm = np.zeros((len(members), 2, 1152), np.int16)
-                xp = [None] * len(members)
-                xl = np.zeros((len(members),), np.int32)
-                for i, m in enumerate(members):
-                    p = m.read_frame(1152)
-                    pcm[i, :m.channels] = p
-                    if m.channels == 1:
-                        pcm[i, 1] = p[0]
-                    if m.pad:
-                        xp[i] = m.request_pads(1)[0]
-                        xl[i] = xp[i][1]
+                pcm = np.zeros((k, S, 2, 1152), np.int16)
+                xp = [None] * S
+                xl = np.zeros((S,), np.int32)
+                for f in range(k):
+                    for i, m in enumerate(members):
+                        p = m.read_frame(1152)
+                        pcm[f, i, :m.channels] = p
+                        if m.channels == 1:
+                            pcm[f, i, 1] = p[0]
+                        if m.pad:  # k == 1 when any station has a PAD socket
+                            xp[i] = m.request_pads(1)[0]
+                            xl[i] = xp[i][1]
                 have_pads = any(x is not None for x in xp)
                 xbuf = None
                 if have_pads:
                     # frame mode packs X-PAD on device: [S, pad_max] buffers
-                    xbuf = np.zeros((len(members), enc.pad_max), np.int32)
+                    xbuf = np.zeros((S, enc.pad_max), np.int32)
                     for i, x in enumerate(xp):
                         if x is not None and x[0]:
                             b = np.frombuffer(x[0], np.uint8)
                             xbuf[i, :len(b)] = b
-                state, out = enc.encode_step(
-                    state, pcm, xl if have_pads else None,
-                    xpad_buf=xbuf)  # async dispatch
-                audio_seconds += len(members) * 1152 / members[0].rate
+                if k > 1:
+                    state, out = kstep(state, jnp.asarray(pcm))
+                else:
+                    state, out = enc.encode_step(
+                        state, pcm[0], xl if have_pads else None,
+                        xpad_buf=xbuf)  # async dispatch
+                audio_seconds += k * S * 1152 / members[0].rate
                 step_xp = xp if have_pads else None
             else:
                 nau = enc.cfg.num_aus
                 # SBR/PS AUs cover 1920 full-rate samples (au_samples), LC 960
                 nsamp = nau * enc.cfg.au_samples
-                pcm = np.zeros((len(members), enc.cfg.channels, nsamp), np.int16)
+                pcm = np.zeros((k, S, enc.cfg.channels, nsamp), np.int16)
                 pads = []
-                for i, m in enumerate(members):
-                    pcm[i] = m.read_frame(nsamp)[:enc.cfg.channels]
-                    pads.append(m.request_pads(nau) if m.pad else [b""] * nau)
+                for f in range(k):
+                    for i, m in enumerate(members):
+                        pcm[f, i] = m.read_frame(nsamp)[:enc.cfg.channels]
+                        if f == 0:
+                            pads.append(m.request_pads(nau) if m.pad
+                                        else [b""] * nau)
                 have_pads = any(m.pad for m in members)
-                state, out = enc.encode_superframes(
-                    state, pcm, pack=False,
-                    pads=pads if have_pads else None)
-                audio_seconds += len(members) * nsamp / members[0].rate
+                if k > 1:
+                    state, out = kstep(state, jnp.asarray(pcm))
+                else:
+                    state, out = enc.encode_superframes(
+                        state, pcm[0], pack=False,
+                        pads=pads if have_pads else None)
+                audio_seconds += k * S * nsamp / members[0].rate
                 step_xp = None
+            peaks = np.abs(pcm.astype(np.int32)).max(axis=(-2, -1))  # [k, S]
             # start the device->host copies now so the transfer overlaps the
             # other runners' dispatches and this runner's next-step compute
             for v in out.values():
@@ -292,8 +348,8 @@ def run_fleet(conf, verbose=0):
                     except Exception:
                         pass
             prev = pending[ri]
-            pending[ri] = (out, pcm, step_xp)
-            runners[ri] = (kind, members, enc, packer, state)
+            pending[ri] = (out, peaks, step_xp)
+            runners[ri] = [kind, members, enc, packer, state, k, kstep]
             if prev is not None:
                 pending[ri], keep = prev, pending[ri]
                 drain(ri)

@@ -260,6 +260,15 @@ class Mp2Packer:
         dab_length each) or None.  Returns list of per-stream bytes emitted
         for this call (the previous frame, patched)."""
         S = self.cfg.n_streams
+        if "wire" in out:
+            # single-buffer device frames: [S, n_bytes + 6] uint8 =
+            # frame | scf_vals[4] | mode | extra (see mp2/model.py)
+            w = np.asarray(out["wire"])
+            d = {"frame": np.ascontiguousarray(w[:, :-6]),
+                 "scf_vals": w[:, -6:-2].astype(np.int32)}
+            if (self.cfg.slots_frac != 0).any():
+                d["extra"] = w[:, -1].astype(np.int32)
+            return self._emit_device_frames(d)
         if "frame" in out:
             return self._emit_device_frames(out)
         packed = self._pack_all_native(out, xpads) if use_native else None

@@ -303,10 +303,16 @@ class Mp2Encoder:
             frame, scf_vals = framepack.pack_full_frame(
                 self._dev, fr_in, sbband, ft, xpad_len, xpad_buf,
                 self.frame_bytes)
-            out = {"frame": frame, "scf_vals": scf_vals,
-                   "mode": mode_final.astype(jnp.int32)}
-            if extra_slots is not None:
-                out["extra"] = extra_slots.astype(jnp.int32)
+            # ONE output leaf: the device->host tunnel costs ~9 ms per
+            # transfer regardless of size, so frame + ScF-CRC values + mode
+            # + padding slot ride one uint8 buffer [S, n_bytes + 6]
+            extra_u8 = (extra_slots if extra_slots is not None else
+                        jnp.zeros((S,), jnp.int32)).astype(jnp.uint8)
+            wire = jnp.concatenate(
+                [frame, scf_vals,
+                 mode_final.astype(jnp.uint8)[:, None],
+                 extra_u8[:, None]], axis=1)
+            out = {"wire": wire}
             new_state = {"hist": hist}
             if self.psy_model in (2, 4):
                 new_state["psy2"] = psy2_state
