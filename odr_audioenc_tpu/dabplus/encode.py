@@ -44,7 +44,7 @@ def _mmdt():
     dots (they surface un-fused inside lax.cond branches), so tests fall
     back to f32.  Values are small ints - exact either way."""
     import jax
-    return jnp.float32 if jax.default_backend() == "cpu" else _mmdt()
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
 TNS_MAX_ORDER = 12      # LC long windows (14496-3 table 4.156)
