@@ -892,7 +892,8 @@ def calc_weighting(en, thr, ffak, nlines, bandsel, is_short, last_patch,
 def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
               tns_cfg=None, transient=None, short_ctx=None, is_short=None,
               refine_rounds=REFINE_ROUNDS, modify_minsnr=True,
-              pre_state=None, seq=None, weight_state=None):
+              pre_state=None, seq=None, weight_state=None,
+              thr_override=None):
     """Rate-controlled quantization of one AU for all streams.
 
     spec: [S, ch, 960] (window-major [8x120] layout for short-block
@@ -1279,10 +1280,24 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         fit = t <= budget_bits
         return (jnp.where(fit, lo, mid + 1), jnp.where(fit, mid, hi)), None
 
-    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=n_steps)
-    # hi = smallest offset whose (upper-bound) count fits, or O_HI if none;
-    # the final DP count can only be smaller, so the budget is never overrun
-    bits, (q, gains, books) = try_offset(hi, use_dp=True)
+    if thr_override is not None:
+        # diagnostic path (tools/diag_thr_override.py): bypass the rate
+        # loop entirely and quantize at externally supplied per-band
+        # thresholds (e.g. the instrumented reference's final thresholds),
+        # isolating threshold computation from the coding machinery
+        thr_o = jnp.maximum(thr_override, 1e-10)
+        scf = jnp.floor(8.8585 * (jnp.log10(6.75 * thr_o) - log_ffak)
+                        + scf_corr).astype(jnp.int32)
+        gains = jnp.where(bandsel_c, jnp.clip(scf, -100, 155), -100)
+        gmax = gains.max(-1, keepdims=True)
+        gains = jnp.clip(gains, gmax - 60, gmax)
+        bits, q, books, gains = count_for_gains(gains)
+    else:
+        (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=n_steps)
+        # hi = smallest offset whose (upper-bound) count fits, or O_HI if
+        # none; the final DP count can only be smaller, so the budget is
+        # never overrun
+        bits, (q, gains, books) = try_offset(hi, use_dp=True)
     # `gains` now carries the transmitted values: scalefactors on spectral
     # bands, noise energies on PNS bands (the writers' noise chain source)
 

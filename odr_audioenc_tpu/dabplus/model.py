@@ -288,7 +288,8 @@ class DabPlusEncoder:
         st.update(BS.init_state(self.S, self.cfg.channels, self.dtype))
         return st
 
-    def _superframe_step(self, state, pcm, pad_buf=None, pad_len=None):
+    def _superframe_step(self, state, pcm, pad_buf=None, pad_len=None,
+                         thr_override=None):
         """pcm: [S, ch, num_aus*au_samples] int16 -> (state, outputs dict).
         pad_buf/pad_len: [S, nau, pad_max] int32 X-PAD bytes + used lengths
         (device-pack mode only; emitted as DSE ancillary data).
@@ -444,7 +445,8 @@ class DabPlusEncoder:
                             if cfg.afterburner else 0,
                             modify_minsnr=self.modify_minsnr,
                             pre_state=(thr_nm1, pre_flag), seq=seq,
-                            weight_state=wgt_last)
+                            weight_state=wgt_last,
+                            thr_override=xs.get("thr_ov"))
             leftover = (jnp.maximum(budget_au + allow - o["bits"], 0)
                         + (leftover - allow)).astype(jnp.int32)
             o["wseq"] = seq
@@ -503,6 +505,8 @@ class DabPlusEncoder:
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
         xs = {"prev": prevs, "cur": grans, "seq": wseq, "budget": budgets,
               "is_last": jnp.arange(nau) == nau - 1}
+        if thr_override is not None:
+            xs["thr_ov"] = jnp.moveaxis(thr_override, 0, 1)  # [nau,S,ch,NB]
         if have_pads:
             xs["pb"] = jnp.moveaxis(pad_buf, 0, 1)
             xs["pl"] = jnp.moveaxis(pad_len, 0, 1)
@@ -546,7 +550,7 @@ class DabPlusEncoder:
                                       state, rows)
 
     def encode_superframes(self, state, pcm, add_rs=True, pads=None,
-                           pack=True):
+                           pack=True, thr_override=None):
         """pcm: [S, ch, num_aus*au_samples] int16; pads: optional
         [S][num_aus] list of X-PAD byte strings (sent as DSE ancillary data,
         like IN_ANCILLRY_DATA in the reference).
@@ -567,9 +571,13 @@ class DabPlusEncoder:
                                 pb[s, a, :len(p)] = np.frombuffer(p, np.uint8)
                                 pl[s, a] = len(p)
                 args = (jnp.asarray(pb), jnp.asarray(pl))
-            state, out = self._step(state, jnp.asarray(pcm), *args)
+            kw = {} if thr_override is None else \
+                {"thr_override": jnp.asarray(thr_override)}
+            state, out = self._step(state, jnp.asarray(pcm), *args, **kw)
         else:
-            state, out = self._step(state, jnp.asarray(pcm))
+            kw = {} if thr_override is None else \
+                {"thr_override": jnp.asarray(thr_override)}
+            state, out = self._step(state, jnp.asarray(pcm), **kw)
         if not pack:
             self._pack_args = (add_rs, pads)
             return state, out
