@@ -349,6 +349,20 @@ class AuPackCtx:
         self.maxcb = min(hard, soft)
         # round up so the one-hot H digit is full
         self.maxcb = -(-self.maxcb // 32) * 32
+        # Static proof that the model.pack_superframes overflow warning is
+        # unreachable: the rate loop's crash recovery (encode.py _recover)
+        # guarantees every AU's counted bits <= budget_au + allow with
+        # allow <= bitres_max; the content buffer additionally carries the
+        # X-PAD DSE ((pad_len+3) bytes framing) and byte alignment.  If this
+        # worst case ever exceeded the pack bound the encoder could emit a
+        # corrupt superframe, so fail at construction instead.
+        pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
+        worst_au_bits = enc.budget_au + enc.bitres_max + pad_bits + 8
+        if worst_au_bits > 8 * self.maxcb:
+            raise AssertionError(
+                f"device-pack AU bound {8 * self.maxcb} bits < worst-case "
+                f"recovered AU {worst_au_bits} bits for subch={cfg.subch} "
+                f"ch={enc.core_channels} aot={cfg.aot} pad={cfg.pad_len}")
 
         # long layout: tx band b < max_sfb; band of pair
         bol_l = np.asarray(AT.band_of_line(cfg.core_rate))

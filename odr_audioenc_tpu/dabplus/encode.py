@@ -1281,10 +1281,12 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         return (jnp.where(fit, lo, mid + 1), jnp.where(fit, mid, hi)), None
 
     if thr_override is not None:
-        # diagnostic path (tools/diag_thr_override.py): bypass the rate
-        # loop entirely and quantize at externally supplied per-band
-        # thresholds (e.g. the instrumented reference's final thresholds),
-        # isolating threshold computation from the coding machinery
+        # diagnostic path (driven from tools/diag_lc_thr.py via the
+        # encode_superframes kwarg): bypass the rate loop and quantize at
+        # externally supplied per-band thresholds (e.g. the instrumented
+        # reference's final thresholds), isolating threshold computation
+        # from the coding machinery.  The refine scan below is also skipped
+        # so the transplant is not nudged back toward OUR psy thresholds.
         thr_o = jnp.maximum(thr_override, 1e-10)
         scf = jnp.floor(8.8585 * (jnp.log10(6.75 * thr_o) - log_ffak)
                         + scf_corr).astype(jnp.int32)
@@ -1327,7 +1329,7 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
                 jnp.where(ok, books2, books),
                 jnp.where(ok[:, 0, 0], total2, bits)), None
 
-    if refine_rounds:
+    if refine_rounds and thr_override is None:
         (q, gains, books, bits), _ = jax.lax.scan(
             refine, (q, gains, books, bits), None, length=refine_rounds)
 

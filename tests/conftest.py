@@ -38,10 +38,15 @@ SLOW_MODULES = {
     "test_native_dabpack", "test_binpack", "test_fast_path",
     "test_framepack", "test_native_pack", "test_polyphase",
 }
-# individually-slow tests in otherwise-fast modules (measured >60 s)
+# individually-slow tests in otherwise-fast modules (measured >60 s, or
+# demoted to keep the fast tier under its 3-minute promise; the full suite
+# still runs them).  test_overfull_budget_never_overruns stays fast as the
+# crash-recovery canary.
 SLOW_TESTS = {
     ("test_inputs", "test_cli_restart_on_fault_counts"),
     ("test_inputs", "test_gst_pipeline_input_encodes"),
+    ("test_inputs", "test_cli_input_fault_exit5"),
+    ("test_recovery", "test_adversarial_stream_recovers_others_unchanged"),
 }
 # codec-correctness canaries promoted INTO the fast tier (one golden MP2
 # config, one device-aupack byte-equivalence case) so the <3-min gate can

@@ -109,3 +109,22 @@ def test_device_mode_end_to_end_valid():
     pcm2 = _signal(rng, 1, 1, cfg2.num_aus * cfg2.au_samples, "noise")
     _, fr2 = enc2.encode_superframes(enc2.init_state(), pcm2)
     assert superframe_check_rs(np.frombuffer(fr2[0], np.uint8))
+
+
+@pytest.mark.slow
+def test_pack_bound_covers_recovery_bound_all_configs():
+    """The model.pack_superframes overflow warning must be unreachable:
+    AuPackCtx construction statically asserts that the rate loop's crash-
+    recovery bit bound (budget_au + bitres_max + X-PAD DSE + align) fits the
+    device content-buffer bound (aupack.py AuPackCtx).  Sweep every
+    CLI-reachable DAB+ config; construction raises if any violates it."""
+    for rate in (48000, 32000):
+        for subch in range(1, 25):
+            for ch in (1, 2):
+                for aot in ("lc", "sbr", "ps"):
+                    if aot == "ps" and ch != 2:
+                        continue
+                    for pad_len in (0, 58):
+                        cfg = DabPlusConfig(rate, subch, ch, aot=aot,
+                                            pad_len=pad_len)
+                        DabPlusEncoder(cfg, n_streams=1, pack_on_device=True)

@@ -39,6 +39,21 @@ ref_aus = []
 for sf in fenc.encode(sig):
     ref_aus.extend(dabplus_parse.parse_superframe(sf)["aus"])
 
+# AU-index alignment: the reference encoder runs with its own input delay,
+# so AU index `au` of the wire does not cover input window au*960 exactly.
+# Measure the lag by decoding the reference stream and cross-correlating
+# against the source (same method as diag_lc_transitions.align), then shift
+# the wire AU index so band comparisons are window-for-window.
+dec = fdk_ref.FdkDecoder()
+ref_pcm = np.concatenate(
+    [dec.decode_superframe(sf) for sf in fenc.encode(sig)], axis=-1)
+n = min(48000, ref_pcm.shape[1], sig.shape[1])
+c = np.correlate(ref_pcm[0, :n].astype(np.float64),
+                 sig[0, :n].astype(np.float64), "full")
+lag = int(np.argmax(np.abs(c))) - (n - 1)
+au_shift = int(round(-lag / 960.0))
+print(f"measured decoder lag {lag} samples -> ref AU shift {au_shift}")
+
 dt = enc.dtype
 for au in AUS:
     prev = sig[None, :, (au - 1) * 960: au * 960].astype(np.float64)
@@ -74,9 +89,16 @@ for au in AUS:
     mask_full, _ = E.pns_detect(spec, en, thr, bctx, eligible,
                                 nlines[None, None], dt, pns_tabs=tabs)
 
-    r = aacparse.parse_au(ref_aus[au])[0]
-    print(f"=== au {au} (pns_start={enc.pt['pns_start']}, "
+    ref_idx = min(max(au + au_shift, 0), len(ref_aus) - 1)
+    r = aacparse.parse_au(ref_aus[ref_idx])[0]
+    print(f"=== au {au} (ref au {ref_idx}, pns_start={enc.pt['pns_start']}, "
           f"max_sfb={enc.max_sfb}) ===")
+    if r['info']['window_sequence'] == 2:
+        # short-block reference AU: the long-block MDCT features computed
+        # above are not band-comparable against the grouped short bands
+        print("  ref AU is EIGHT_SHORT - band-for-band comparison invalid, "
+              "skipping (rerun with a neighbouring AU index)")
+        continue
     for c in range(2):
         ch = r['channels'][c]
         bk = ch['books'][0] if isinstance(ch['books'][0], list) else ch['books']
