@@ -489,8 +489,10 @@ def _scf_slots(ctx, books, gains, is_short):
 
 
 def _tns_groups(ctx, tns_en, tns_order, tns_idx, tns_en_lo, tns_order_lo,
-                tns_idx_lo):
-    """[pulse+tns_present], tns_data slots (host _write_tns_data)."""
+                tns_idx_lo, tns_len=None):
+    """[pulse+tns_present], tns_data slots (host _write_tns_data).
+    tns_len: [S] per-AU filter-1 length in bands (dynamic: the merged
+    filter spans the whole TNS range, encode.py tns_analysis_fdk)."""
     S = tns_en.shape[0]
     cfgd = ctx.tns_cfg
     groups = [(jnp.full((S, 1), 2, jnp.int32),
@@ -501,8 +503,10 @@ def _tns_groups(ctx, tns_en, tns_order, tns_idx, tns_en_lo, tns_order_lo,
     en_lo = tns_en_lo & en
     n_filt = jnp.where(en_lo, 2, 1)
     order = tns_order.astype(jnp.int32)
+    length = cfgd["length_code"] if tns_len is None \
+        else tns_len.astype(jnp.int32)
     # n_filt(2) coef_res(1) length(6) order(5) dir(1) compress(1)
-    v1 = (((((n_filt << 1) | 1) << 6) | cfgd["length_code"]) << 5 | order) << 2
+    v1 = (((((n_filt << 1) | 1) << 6) | length) << 5 | order) << 2
     groups.append((jnp.where(en, 16, 0)[:, None].astype(jnp.int32),
                    v1[:, None], 3))
     k = jnp.arange(tns_idx.shape[-1])
@@ -693,7 +697,9 @@ def au_content_groups(ctx, o, is_last, pad_buf=None, pad_len=None,
         groups.extend(_tns_groups(
             ctx, o["tns_en"][:, c], o["tns_order"][:, c],
             o["tns_idx"][:, c], o["tns_en_lo"][:, c],
-            o["tns_order_lo"][:, c], o["tns_idx_lo"][:, c]))
+            o["tns_order_lo"][:, c], o["tns_idx_lo"][:, c],
+            tns_len=o.get("tns_len")[:, c]
+            if o.get("tns_len") is not None else None))
         groups.append(const(1, 0))                    # gain_control
         groups.extend(_spectral_groups(ctx, o["q"][:, c], books, is_short))
 
@@ -962,7 +968,7 @@ def pack_from_outputs(enc, out, pads=None, add_rs=True):
                     pb[s, a, :len(p)] = np.frombuffer(p, np.uint8)
                     pl[s, a] = len(p)
     keys = ["q", "gains", "books", "ms_used", "tns_en", "tns_order",
-            "tns_idx", "tns_en_lo", "tns_order_lo", "tns_idx_lo"]
+            "tns_idx", "tns_en_lo", "tns_order_lo", "tns_idx_lo", "tns_len"]
     sw = sv = None
     if enc.is_sbr:
         side = {k: jnp.asarray(np.asarray(v)) for k, v in out.items()

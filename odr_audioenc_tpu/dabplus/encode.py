@@ -13,6 +13,7 @@ switching lands with a later revision).
 Every AU's exact bit count is computed on device so the host packer never
 overruns the superframe budget.
 """
+import os
 from functools import partial
 
 import jax
@@ -53,34 +54,28 @@ TNS_LO_ORDER = 5         # aacenc_tns.cpp:451 tnsLimitOrder[LOFILT]=maxOrder-7
 _TNS_IQFAC4 = (8.0 - 0.5) / (np.pi / 2.0)  # 4-bit arcsine quantizer
 
 
-def tns_analysis(spec, start, stop, dtype, max_order=TNS_MAX_ORDER):
-    """Temporal noise shaping analysis over the static line range
-    [start, stop) (aacEnc TnsDetect/TnsSync analogue; syntax/inverse per
-    libAACdec aacdec_tns.cpp:142-380).
+def _acf_norm(x, lags):
+    """Energy-normalized autocorrelation of the trailing axis: r[k] =
+    sum x[i]x[i-k] / r0, zero when the segment is silent.  Returns
+    [..., lags+1] with r[0] == 1 (or 0 for silence)."""
+    L = x.shape[-1]
+    r0 = (x * x).sum(-1)
+    ok = r0 > 0
+    inv = jnp.where(ok, 1.0 / jnp.maximum(r0, 1e-30), 0.0)
+    rs = [jnp.where(ok, 1.0, 0.0)]
+    for k in range(1, lags + 1):
+        rs.append((x[..., k:] * x[..., :L - k]).sum(-1) * inv)
+    return jnp.stack(rs, -1)
 
-    Levinson-Durbin on the spectral autocorrelation gives reflection
-    coefficients; they are arcsine-quantized at 4-bit resolution (the
-    decoder's FDKaacDec_tnsCoeff4 table is sin(idx/iqfac)), stepped up to
-    direct-form a(z).  Returns (pred_gain, sum_sqr, order [...],
-    idx [..., 12] int32 zero-padded, a_hat [..., 12])."""
-    x = spec[..., start:stop]
-    L = stop - start
-    r = [(x * x).sum(-1)]
-    for k in range(1, max_order + 1):
-        r.append((x[..., k:] * x[..., :L - k]).sum(-1))
-    r = jnp.stack(r, -1)
-    # mild Gaussian lag window stabilises the recursion on near-singular
-    # autocorrelations (same role as the reference's time-resolution window)
-    lag = jnp.asarray(np.exp(-0.5 * (np.pi * 0.01 *
-                                     np.arange(max_order + 1)) ** 2), dtype)
-    r = r * lag
+
+def _levinson(r, order, dtype):
+    """Levinson-Durbin: autocorrelation [..., >=order+1] -> reflection
+    coefficients [..., order] and prediction gain r0/err."""
     r0 = jnp.maximum(r[..., 0], 1e-30)
-
-    a = jnp.zeros(spec.shape[:-1] + (max_order + 1,), dtype)
-    a = a.at[..., 0].set(1.0)
+    a = jnp.zeros(r.shape[:-1] + (order + 1,), dtype).at[..., 0].set(1.0)
     err = r0
     ks = []
-    for m in range(1, max_order + 1):
+    for m in range(1, order + 1):
         acc = sum(a[..., i] * r[..., m - i] for i in range(m))
         k_m = -acc / jnp.maximum(err, 1e-30)
         k_m = jnp.clip(k_m, -0.999, 0.999)
@@ -90,47 +85,152 @@ def tns_analysis(spec, start, stop, dtype, max_order=TNS_MAX_ORDER):
             a = a.at[..., 1:m].set(a[..., 1:m] + k_m[..., None] * flip)
         a = a.at[..., m].set(k_m)
         err = err * (1.0 - k_m * k_m)
-    pred_gain = r0 / jnp.maximum(err, 1e-30)
+    return jnp.stack(ks, -1), r0 / jnp.maximum(err, 1e-30)
 
-    k = jnp.stack(ks, -1)                                   # [..., max_order]
-    idx = jnp.clip(jnp.round(jnp.arcsin(k) * _TNS_IQFAC4), -8, 7).astype(jnp.int32)
-    khat = jnp.sin(idx.astype(dtype) / _TNS_IQFAC4)
-    # order = index of last non-zero quantized coefficient + 1
+
+def _quant_stepup(ks, dtype, out_order=TNS_MAX_ORDER):
+    """4-bit arcsine index quantization (decoder FDKaacDec_tnsCoeff4 is
+    sin(idx/iqfac)) + step-up of the QUANTIZED reflection coefficients to
+    direct form.  Returns (idx [..., out_order], order, sum_sqr,
+    a_hat [..., out_order])."""
+    max_order = ks.shape[-1]
+    idx = jnp.clip(jnp.round(jnp.arcsin(ks) * _TNS_IQFAC4), -8, 7) \
+        .astype(jnp.int32)
     nz = idx != 0
     order = jnp.where(nz.any(-1),
                       max_order - jnp.argmax(nz[..., ::-1], -1), 0)
     sum_sqr = (idx * idx).sum(-1)
     idx = jnp.where(jnp.arange(max_order) < order[..., None], idx, 0)
-
-    # step-up with the QUANTIZED reflection coefficients (what the decoder
-    # inverts) to direct-form a[1..max_order]
-    ah = jnp.zeros_like(a).at[..., 0].set(1.0)
+    khat = jnp.sin(idx.astype(dtype) / _TNS_IQFAC4)
+    ah = jnp.zeros(ks.shape[:-1] + (max_order + 1,), dtype) \
+        .at[..., 0].set(1.0)
     for m in range(1, max_order + 1):
         k_m = khat[..., m - 1]
         if m > 1:
             flip = jnp.stack([ah[..., m - i] for i in range(1, m)], -1)
             ah = ah.at[..., 1:m].set(ah[..., 1:m] + k_m[..., None] * flip)
         ah = ah.at[..., m].set(k_m)
-    if max_order < TNS_MAX_ORDER:
-        pad = [(0, 0)] * (idx.ndim - 1) + [(0, TNS_MAX_ORDER - max_order)]
-        idx = jnp.pad(idx, pad)
-        ah = jnp.pad(ah[..., 1:], pad)
-    else:
-        ah = ah[..., 1:]
-    return pred_gain, sum_sqr, order.astype(jnp.int32), idx, ah
+    idx_o, ah_o = idx, ah[..., 1:]
+    if max_order < out_order:
+        pad = [(0, 0)] * (idx.ndim - 1) + [(0, out_order - max_order)]
+        idx_o = jnp.pad(idx_o, pad)
+        ah_o = jnp.pad(ah_o, pad)
+    return idx_o, order.astype(jnp.int32), sum_sqr, ah_o
 
 
-def tns_filter(spec, a_hat, enable, start, stop):
-    """Apply the analysis filter A(z) = 1 + sum a_k z^-k forward over the
-    line range with zero history (the decoder clears its lattice state,
-    aacdec_tns.cpp:369)."""
+def tns_analysis_fdk(spec, lo_start, hi_start, stop, dtype):
+    """fdk TnsDetect analogue (aacenc_tns.cpp:638-964, long windows).
+
+    The decisive structural points, verified against the instrumented
+    reference on transition AUs (tools/diag_lc_stages.py round-5 notes):
+      * the autocorrelation is energy-normalized PER SEGMENT - the HI
+        range [hi_start, stop) is split into three equal thirds, each
+        normalized by its own energy and summed (MergedAutoCorrelation,
+        :638-771).  An un-normalized single-range ACF fits only the
+        loudest third and loses ~20 dB of realized prediction gain.
+      * the LO range [lo_start, hi_start) gets its own order-5 filter
+        (lag window gate 3*lag <= maxOrder+3 keeps 5 lags, :713-722).
+      * if both filters are similar (sum |didx| < 2 over the first 5
+        indices) they MERGE into one HI filter covering the whole range
+        from lo_start (:926-952) - on transition AUs this is the filter
+        that strips 15-25 dB of temporal envelope across ALL bands.
+    fdk's Gauss lag window is ~1.0 at these orders (CalcGaussWindow with
+    timeRes 0.046875) and is omitted.
+
+    Returns dict with per-[..,] leaves: en, idx [..,12], order, merged,
+    en_lo, idx_lo [..,12], order_lo, ah_hi [..,12], ah_lo [..,12],
+    pred_gain."""
+    third = (stop - hi_start) // 3
+    segs = [(hi_start, hi_start + third), (hi_start + third,
+            hi_start + 2 * third), (hi_start + 2 * third, stop)]
+    r_hi = sum(_acf_norm(spec[..., a:b], TNS_MAX_ORDER) for a, b in segs)
+    r_lo = _acf_norm(spec[..., lo_start:hi_start], TNS_LO_ORDER)
+
+    ks_hi, pg_hi = _levinson(r_hi, TNS_MAX_ORDER, dtype)
+    idx_hi, order_hi, ssq_hi, ah_hi = _quant_stepup(ks_hi, dtype)
+    en_hi = ((pg_hi > TNS_GAIN_THRESH)
+             | (ssq_hi > TNS_MAX_ORDER // 2 + 2)) & (order_hi > 0)
+
+    ks_lo, pg_lo = _levinson(r_lo, TNS_LO_ORDER, dtype)
+    idx_lo, order_lo, ssq_lo, ah_lo = _quant_stepup(ks_lo, dtype)
+    # "filter lower quarter if gain is high enough, but not if it's too
+    # high" (aacenc_tns.cpp:920-925)
+    lo_quality = (((pg_lo > 1.5) & (pg_lo < 16.0 * TNS_LO_ORDER))
+                  | ((ssq_lo > 9) & (ssq_lo < 22 * TNS_LO_ORDER))) \
+        & (order_lo > 0)
+    en_lo = en_hi & lo_quality
+
+    # merge when the two filters agree on the first LO-order indices
+    dsum = jnp.abs(idx_hi[..., :TNS_LO_ORDER] - idx_lo[..., :TNS_LO_ORDER]) \
+        .sum(-1)
+    merged = en_lo & (dsum < 2)
+    # merged order trim (aacenc_tns.cpp:940-952): from index 5 walk up
+    # while |idx| <= 1, then back down to the last non-zero
+    pos = jnp.arange(TNS_MAX_ORDER)
+    big = (jnp.abs(idx_hi) > 1) & (pos >= TNS_LO_ORDER)
+    first_big = jnp.where(big.any(-1), jnp.argmax(big, -1), order_hi)
+    below = (idx_hi != 0) & (pos < first_big[..., None])
+    last_nz = jnp.where(below.any(-1),
+                        TNS_MAX_ORDER - 1 - jnp.argmax(below[..., ::-1], -1),
+                        -1)
+    order_trim = jnp.minimum(order_hi, last_nz + 1)
+    order_hi = jnp.where(merged, jnp.maximum(order_trim, 0), order_hi)
+    idx_hi = jnp.where(pos < order_hi[..., None], idx_hi, 0)
+    en_lo = en_lo & ~merged
+    return dict(en=en_hi, idx=idx_hi, order=order_hi, merged=merged,
+                en_lo=en_lo, idx_lo=idx_lo, order_lo=order_lo,
+                ah_hi=ah_hi, ah_lo=ah_lo, pred_gain=pg_hi)
+
+
+def tns_sync(t, dtype):
+    """Cross-channel HI-filter sync (FDKaacEnc_TnsSync, aacenc_tns.cpp:
+    980-1051): when the two channels' quantized indices are similar
+    (every |d| <= 1 and sum |d| <= 2), channel 1 adopts channel 0's
+    whole TNS configuration.  t: dict from tns_analysis_fdk with leading
+    dims [S, 2]."""
+    d = jnp.abs(t["idx"][:, 0] - t["idx"][:, 1])
+    do_sync = (t["en"][:, 0] | t["en"][:, 1]) \
+        & (d.max(-1) <= 1) & (d.sum(-1) <= 2)
+
+    def adopt(v):
+        return jnp.concatenate(
+            [v[:, :1], jnp.where(
+                do_sync.reshape((-1,) + (1,) * (v.ndim - 1)),
+                v[:, :1], v[:, 1:2])], axis=1)
+    return {k: adopt(v) for k, v in t.items()}
+
+
+def _fir_range(spec, a_hat, start, stop):
+    """A(z) = 1 + sum a_k z^-k applied forward over [start, stop) with
+    zero history (the decoder clears its lattice state,
+    aacdec_tns.cpp:369).  Returns just the filtered segment."""
     x = spec[..., start:stop]
     y = x
     for k in range(1, TNS_MAX_ORDER + 1):
         xd = jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
         y = y + a_hat[..., k - 1:k] * xd
-    y = jnp.where(enable[..., None], y, x)
-    return jnp.concatenate([spec[..., :start], y, spec[..., stop:]], axis=-1)
+    return y
+
+
+def tns_filter_fdk(spec, t, lo_start, hi_start, stop):
+    """Apply the TnsEncode filter layout (aacenc_tns.cpp:1070-1111): when
+    merged, ONE HI filter covers [lo_start, stop); otherwise the HI filter
+    covers [hi_start, stop) and the optional LO filter [lo_start,
+    hi_start), each with zero history at its own start line."""
+    y_m = _fir_range(spec, t["ah_hi"], lo_start, stop)
+    y_h = _fir_range(spec, t["ah_hi"], hi_start, stop)
+    y_l = _fir_range(spec, t["ah_lo"], lo_start, hi_start)
+    en = t["en"][..., None]
+    mg = t["merged"][..., None]
+    lo = t["en_lo"][..., None]
+    x_lo = spec[..., lo_start:hi_start]
+    seg_lo = jnp.where(en & mg, y_m[..., :hi_start - lo_start],
+                       jnp.where(en & lo, y_l, x_lo))
+    x_hi = spec[..., hi_start:stop]
+    seg_hi = jnp.where(en & mg, y_m[..., hi_start - lo_start:],
+                       jnp.where(en, y_h, x_hi))
+    return jnp.concatenate([spec[..., :lo_start], seg_lo, seg_hi,
+                            spec[..., stop:]], axis=-1)
 
 
 def mdct_frame(prev, cur, basis, dtype):
@@ -241,12 +341,15 @@ class BandCtx:
                          lambda: band_vals @ self.band_m_s.astype(band_vals.dtype))
 
 
-def spread_thresholds(en, pt, dtype):
+def spread_thresholds(en, pt, dtype, clamp_en=None):
     """Two-pass bark-domain spreading + ATH (psy_main.cpp:950-1014 analogue).
 
     en: [..., NB]; pt: dict with f_low/f_high/ath/pcm_floor, each [NB] or
     broadcastable [..., NB] (per-stream selected for long/short ladders).
-    Returns thr [..., NB]."""
+    clamp_en: optional [..., NB] - when given, thresholds are clamped to
+    these energies (the legacy non-fdk behavior; fdk never clamps thr to
+    the coded spectrum's energy, and the TNS threshold elevation depends
+    on NOT clamping - see encode_au).  Returns thr [..., NB]."""
     # C_RATIO, -29 dB (psy_main.cpp:703).  The reference also clips the
     # threshold at clipEnergy (:945) - a fixed-point overflow guard, NOT
     # psychoacoustics; in float it binds on loud tones and measurably
@@ -261,15 +364,11 @@ def spread_thresholds(en, pt, dtype):
         thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b - 1] * f_high[..., b - 1]))
     for b in range(NB - 2, -1, -1):
         thr = thr.at[..., b].set(jnp.maximum(thr[..., b], thr[..., b + 1] * f_low[..., b]))
-    # absolute floor: the hearing curve plus the reference's PCM
-    # quantization noise per band (psy_main.cpp:952-970).  NOTE: the
-    # fdk-faithful variant (floor above energy = free holes, no thr<=en
-    # clamp) measured 0.8 dB WORSE corpus NMR - the PEAQ harness penalises
-    # the hole noise in transition frames more than the freed bits help -
-    # so the clamp stays; allowMoreHoles (try_offset) still opens holes
-    # under budget pressure where the reference would.
+    # absolute floor: the hearing curve (the reference's PCM-quant floor
+    # analogue, psy_main.cpp:952-970)
     thr = jnp.maximum(thr, pt["ath"])
-    thr = jnp.minimum(thr, en + 1e30 * (en == 0))
+    if clamp_en is not None:
+        thr = jnp.minimum(thr, clamp_en + 1e30 * (clamp_en == 0))
     return thr
 
 
@@ -932,10 +1031,9 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         pt_sel = pt
         nlines = jnp.maximum(band_m.sum(-1), 1.0)
 
-    # pre-TNS energies (kept for diagnostics; the fdk ordering - thresholds
-    # from UNFILTERED energies, psy_main.cpp:703 vs :844 - measured 0.7 dB
-    # worse corpus NMR here because our delivered TNS gain differs, so the
-    # thresholds are taken from the post-TNS energies below)
+    # pre-TNS energies: the psy threshold source (fdk ordering, see the
+    # threshold-elevation note below; post-TNS energies feed the minSnr
+    # caps and MS/PNS decisions like fdk's psyOut sfbEnergy)
     en_pre = bctx.energy(spec)
 
     # TNS first: the decoder applies MS reconstruction before TNS synthesis,
@@ -947,21 +1045,24 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
     if tns_cfg is not None:
         start, mid, stop = (tns_cfg["start_line"], tns_cfg["mid_line"],
                             tns_cfg["stop_line"])
-        pg, ss, tns_order, tns_idx, ah = tns_analysis(spec, mid, stop, dtype)
-        tns_en = ((pg > TNS_GAIN_THRESH)
-                  | (ss > TNS_MAX_ORDER // 2 + 2)) & (tns_order > 0)
-        pg_l, ss_l, tns_order_lo, tns_idx_lo, ah_lo = tns_analysis(
-            spec, start, mid, dtype, max_order=TNS_LO_ORDER)
-        tns_en_lo = tns_en & (tns_order_lo > 0) & (
-            ((pg_l > 1.5) & (pg_l < 16.0 * TNS_LO_ORDER))
-            | ((ss_l > 9) & (ss_l < 22 * TNS_LO_ORDER)))
+        t = tns_analysis_fdk(spec, start, mid, stop, dtype)
+        if n_ch_s == 2:
+            t = tns_sync(t, dtype)
         if is_short is not None:
             # short blocks already confine noise to 5 ms windows; our TNS
             # filter range/syntax is long-window only
-            tns_en = tns_en & ~is_short[:, None]
-            tns_en_lo = tns_en_lo & ~is_short[:, None]
-        spec = tns_filter(spec, ah, tns_en, mid, stop)
-        spec = tns_filter(spec, ah_lo, tns_en_lo, start, mid)
+            off = ~is_short[:, None]
+            t["en"] = t["en"] & off
+            t["en_lo"] = t["en_lo"] & off
+            t["merged"] = t["merged"] & off
+        tns_en, tns_order, tns_idx = t["en"], t["order"], t["idx"]
+        tns_en_lo, tns_order_lo, tns_idx_lo = \
+            t["en_lo"], t["order_lo"], t["idx_lo"]
+        spec = tns_filter_fdk(spec, t, start, mid, stop)
+        # filter-1 length field in bands: whole TNS range when merged,
+        # the HI range otherwise (written by all three packers)
+        tns_len = jnp.where(t["merged"], tns_cfg["length_code_merged"],
+                            tns_cfg["length_code"]).astype(jnp.int32)
         # tns_data: n_filt 2 + coef_res 1, then per filter 6+5+1+1 + 4/coef
         tns_bits = jnp.where(tns_en, 16 + 4 * tns_order, 0) \
             + jnp.where(tns_en_lo, 13 + 4 * tns_order_lo, 0)  # [S, ch]
@@ -973,11 +1074,30 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         tns_en_lo = jnp.zeros((S, n_ch_s), bool)
         tns_order_lo = jnp.zeros((S, n_ch_s), jnp.int32)
         tns_idx_lo = jnp.zeros((S, n_ch_s, TNS_MAX_ORDER), jnp.int32)
+        tns_len = jnp.zeros((S, n_ch_s), jnp.int32)
 
     # psy on the L/R domain (energies -> spreading -> thresholds, THEN MS
     # substitution, psy_main.cpp:872-1218)
     en = bctx.energy(spec)
-    thr = spread_thresholds(en, pt_sel, dtype)
+    # fdk computes psy thresholds from the PRE-TNS energies: thr =
+    # en*C_RATIO (psy_main.cpp:702) runs before TnsEncode, and the TNS
+    # energy recompute (:844-905) rescales but never recomputes thr -
+    # while the rate loop codes the POST-TNS spectrum.  Where TNS strips
+    # 20-30 dB of temporal envelope (loud->silence transition AUs), the
+    # thresholds sit that far above the residual energy: those bands cost
+    # ~no bits (holes/PNS open, the scf ladder rises) and TNS synthesis
+    # re-applies the envelope to the quantization noise at decode, hiding
+    # it under the signal tail.  Confirmed stage-by-stage against the
+    # instrumented reference (tools/diag_lc_stages.py): this is the
+    # round-4 "unidentified threshold elevation" - the elevation IS the
+    # TNS prediction gain, and it requires NOT clamping thr to the coded
+    # (post-TNS) energy.
+    # A/B knob for the quality work: ODR_THR_SRC=post restores the legacy
+    # post-TNS threshold source (read at trace time, diagnostics only)
+    if os.environ.get("ODR_THR_SRC", "pre") == "pre":
+        thr = spread_thresholds(en_pre, pt_sel, dtype, clamp_en=en_pre)
+    else:
+        thr = spread_thresholds(en, pt_sel, dtype, clamp_en=en)
     pre_out = {}
     if pre_state is not None:
         thr, thr_nm1, pre_flag = pre_echo_control(
@@ -1391,4 +1511,5 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
                 tns_idx=tns_idx, tns_en_lo=tns_en_lo,
                 tns_order_lo=tns_order_lo, tns_idx_lo=tns_idx_lo,
+                tns_len=tns_len,
                 **pre_out, **w_out)

@@ -212,28 +212,32 @@ class DabPlusEncoder:
         _TNS_MAX = {96000: 31, 88200: 31, 64000: 34, 48000: 40, 44100: 42,
                     32000: 51, 24000: 46, 22050: 46, 16000: 42}
         total_sfb = self.nbands
-        line_min = int(np.ceil(1275.0 * 2 * AT.N / rate))
-        start_band = int(np.searchsorted(self.sfb_off, line_min))
+        # LO filter start band (aacenc_tns.cpp:434-436): band 8 for
+        # fs >= 18783, band 4 below - NOT a fixed frequency; the earlier
+        # 1275 Hz derivation started one octave too high and cost the
+        # whole low-mid range its temporal noise shaping
+        start_band = 2 if rate < 9391 else (4 if rate < 18783 else 8)
         stop_band = min(total_sfb, _TNS_MAX.get(rate, 40), self.max_sfb)
         if stop_band - start_band >= 4:
-            # split-range filters (aacenc_tns.cpp:440-446): the HI filter
-            # starts at the sfb border nearest start + range/4, the LO
+            # split-range filters (aacenc_tns.cpp:439-445): the HI filter
+            # starts at the LAST sfb border <= start + range/4, the LO
             # filter covers [start, mid)
             mid_target = (self.sfb_off[start_band]
                           + (self.sfb_off[stop_band]
                              - self.sfb_off[start_band]) // 4)
-            mid_band = start_band
-            for b in range(stop_band, start_band, -1):
-                if self.sfb_off[b] <= mid_target:
-                    mid_band = b
-                    break
-            mid_band = max(mid_band, start_band + 1)
+            mid_band = stop_band
+            while mid_band > start_band + 1 and \
+                    self.sfb_off[mid_band] > mid_target:
+                mid_band -= 1
             self.tns_cfg = {
                 "start_line": int(self.sfb_off[start_band]),
                 "mid_line": int(self.sfb_off[mid_band]),
                 "stop_line": int(self.sfb_off[stop_band]),
                 "length_code": total_sfb - mid_band,
                 "length_code_lo": mid_band - start_band,
+                # single merged filter covers the whole TNS range
+                # (aacenc_tns.cpp:937-939)
+                "length_code_merged": total_sfb - start_band,
             }
         else:
             self.tns_cfg = None
@@ -471,7 +475,8 @@ class DabPlusEncoder:
                       "tns_en": o["tns_en"], "tns_order": o["tns_order"],
                       "tns_idx": o["tns_idx"], "tns_en_lo": o["tns_en_lo"],
                       "tns_order_lo": o["tns_order_lo"],
-                      "tns_idx_lo": o["tns_idx_lo"]}
+                      "tns_idx_lo": o["tns_idx_lo"],
+                      "tns_len": o["tns_len"]}
                 sbr_group = None
                 if "sbr_w" in xs:
                     sbr_group = (xs["sbr_w"], xs["sbr_v"], 4)
@@ -500,6 +505,7 @@ class DabPlusEncoder:
                  "tns_en_lo": o["tns_en_lo"],
                  "tns_order_lo": o["tns_order_lo"].astype(jnp.int8),
                  "tns_idx_lo": o["tns_idx_lo"].astype(jnp.int8),
+                 "tns_len": o["tns_len"].astype(jnp.int8),
                  "wseq": o["wseq"].astype(jnp.int8)}
 
         bitres0 = jnp.minimum(state["bitres"], self.bitres_max)
@@ -629,7 +635,7 @@ class DabPlusEncoder:
                     tns = [(bool(out["tns_en"][s, a, c]),
                             int(out["tns_order"][s, a, c]),
                             out["tns_idx"][s, a, c],
-                            self.tns_cfg["length_code"],
+                            int(out["tns_len"][s, a, c]),
                             bool(out["tns_en_lo"][s, a, c]),
                             int(out["tns_order_lo"][s, a, c]),
                             out["tns_idx_lo"][s, a, c],

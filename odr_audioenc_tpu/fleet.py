@@ -188,6 +188,8 @@ def run_fleet(conf, verbose=0):
     realtime = conf.get("realtime", False)
     # seconds of audio per device dispatch (throughput/latency knob)
     chunk_s = 0.0 if realtime else float(conf.get("chunk_seconds", 0.96))
+    # stats cadence: per-frame (reference behavior) vs per-chunk max-peak
+    stats_per_frame = bool(conf.get("stats_per_frame", False))
     groups = defaultdict(list)
     for st in stations:
         if st.codec == "mp2":
@@ -239,7 +241,11 @@ def run_fleet(conf, verbose=0):
 
     t0 = time.perf_counter()
     audio_seconds = 0.0
-    first_pass = True
+    # the first pass compiles every runner's jit program; the second pass
+    # performs the first drains (native packer load, per-station buffers),
+    # so the steady-state clock starts at pass 3 - matching how bench.py
+    # warms up before t0 for the flat configs
+    warm_passes = 2
     # one-step-deep host<->device pipeline: the device computes step k while
     # the host transfers + bit-packs step k-1's outputs (JAX dispatch is
     # async; np.asarray is the sync point, so it runs AFTER the next step
@@ -272,9 +278,19 @@ def run_fleet(conf, verbose=0):
                 for i, m in enumerate(members):
                     m.send(frames[i], int(peaks[f, i]))
                     m.frames_done += 1
-        pk = peaks.max(0)
-        for i, m in enumerate(members):
-            m.publish(int(pk[i]), int(pk[i]))
+        if stats_per_frame and k > 1:
+            # reference cadence: one stats datagram per coded frame
+            for f in range(k):
+                for i, m in enumerate(members):
+                    m.publish(int(peaks[f, i]), int(peaks[f, i]))
+        else:
+            # chunked default: one datagram per device chunk carrying the
+            # chunk's max peak (cadence = chunk_seconds, not per-frame -
+            # set "stats_per_frame": true to restore the reference cadence
+            # at a per-frame host cost)
+            pk = peaks.max(0)
+            for i, m in enumerate(members):
+                m.publish(int(pk[i]), int(pk[i]))
 
     while True:
         all_eof = all(m.eof for _, members, *_ in runners for m in members)
@@ -290,15 +306,16 @@ def run_fleet(conf, verbose=0):
                 pcm = np.zeros((k, S, 2, 1152), np.int16)
                 xp = [None] * S
                 xl = np.zeros((S,), np.int32)
-                for f in range(k):
-                    for i, m in enumerate(members):
-                        p = m.read_frame(1152)
-                        pcm[f, i, :m.channels] = p
-                        if m.channels == 1:
-                            pcm[f, i, 1] = p[0]
-                        if m.pad:  # k == 1 when any station has a PAD socket
-                            xp[i] = m.request_pads(1)[0]
-                            xl[i] = xp[i][1]
+                for i, m in enumerate(members):
+                    # one queue read covers the whole chunk (k frames)
+                    p = m.read_frame(1152 * k)
+                    pk = p.reshape(m.channels, k, 1152).swapaxes(0, 1)
+                    pcm[:, i, :m.channels] = pk
+                    if m.channels == 1:
+                        pcm[:, i, 1] = pk[:, 0]
+                    if m.pad:  # k == 1 when any station has a PAD socket
+                        xp[i] = m.request_pads(1)[0]
+                        xl[i] = xp[i][1]
                 have_pads = any(x is not None for x in xp)
                 xbuf = None
                 if have_pads:
@@ -322,12 +339,12 @@ def run_fleet(conf, verbose=0):
                 nsamp = nau * enc.cfg.au_samples
                 pcm = np.zeros((k, S, enc.cfg.channels, nsamp), np.int16)
                 pads = []
-                for f in range(k):
-                    for i, m in enumerate(members):
-                        pcm[f, i] = m.read_frame(nsamp)[:enc.cfg.channels]
-                        if f == 0:
-                            pads.append(m.request_pads(nau) if m.pad
-                                        else [b""] * nau)
+                for i, m in enumerate(members):
+                    p = m.read_frame(nsamp * k)[:enc.cfg.channels]
+                    pcm[:, i] = p.reshape(enc.cfg.channels, k,
+                                          nsamp).swapaxes(0, 1)
+                    pads.append(m.request_pads(nau) if m.pad
+                                else [b""] * nau)
                 have_pads = any(m.pad for m in members)
                 if k > 1:
                     state, out = kstep(state, jnp.asarray(pcm))
@@ -354,9 +371,8 @@ def run_fleet(conf, verbose=0):
                 pending[ri], keep = prev, pending[ri]
                 drain(ri)
                 pending[ri] = keep
-        if first_pass:
-            # steady-state rate: exclude the first pass (jit compilation)
-            first_pass = False
+        if warm_passes:
+            warm_passes -= 1
             t0 = time.perf_counter()
             audio_seconds = 0.0
         if realtime:

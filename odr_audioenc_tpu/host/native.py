@@ -134,6 +134,8 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
     tns_order = np.ascontiguousarray(out_np["tns_order"], np.int32)
     tns_idx = np.ascontiguousarray(out_np["tns_idx"], np.int32)
     tlc = enc.tns_cfg["length_code"] if enc.tns_cfg else 0
+    tns_len = np.ascontiguousarray(out_np["tns_len"], np.int32) \
+        if "tns_len" in out_np else None
     tns_en_lo = np.ascontiguousarray(out_np["tns_en_lo"], np.uint8) \
         if "tns_en_lo" in out_np else None
     tns_order_lo = np.ascontiguousarray(out_np["tns_order_lo"], np.int32) \
@@ -217,6 +219,7 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         _p(ms, ctypes.c_uint8) if ms is not None else None,
         _p(tns_en, ctypes.c_uint8), _p(tns_order, ctypes.c_int32),
         _p(tns_idx, ctypes.c_int32), ctypes.c_int(tlc),
+        _p(tns_len, ctypes.c_int32) if tns_len is not None else None,
         _p(tns_en_lo, ctypes.c_uint8) if tns_en_lo is not None else None,
         _p(tns_order_lo, ctypes.c_int32) if tns_order_lo is not None else None,
         _p(tns_idx_lo, ctypes.c_int32) if tns_idx_lo is not None else None,

@@ -585,6 +585,9 @@ int dabplus_pack_batch(
     const int32_t *tns_order,    /* [S,nau,ch] */
     const int32_t *tns_idx,      /* [S,nau,ch,12] */
     int tns_length_code,
+    const int32_t *tns_len,      /* [S,nau,ch] per-AU filter-1 length in
+                                    bands (merged TNS spans the whole
+                                    range) or NULL -> tns_length_code */
     const uint8_t *tns_en_lo,    /* [S,nau,ch] or NULL */
     const int32_t *tns_order_lo, /* [S,nau,ch] or NULL */
     const int32_t *tns_idx_lo,   /* [S,nau,ch,12] or NULL */
@@ -651,11 +654,14 @@ int dabplus_pack_batch(
       const int32_t *til = tns_idx_lo
           ? tns_idx_lo + ((size_t(s) * nau + a) * ch) * 12 : nullptr;
       const int wq = wseq ? wseq[size_t(s) * nau + a] : 0;
+      const int32_t *tl = tns_len ? tns_len + (size_t(s) * nau + a) * ch
+                                  : nullptr;
       if (ch == 1) {
         bw.put(0, 3);
         bw.put(0, 4);
         write_ics(bw, Q, G, B, max_sfb, sfb_off, true,
-                  te && te[0], to ? to[0] : 0, ti, tns_length_code,
+                  te && te[0], to ? to[0] : 0, ti,
+                  tl ? tl[0] : tns_length_code,
                   wq, sfb_off_s, nsfb_s, max_sfb_s,
                   (tel && tel[0] && tol) ? tol[0] : 0, til,
                   tns_length_code_lo);
@@ -677,7 +683,8 @@ int dabplus_pack_batch(
         for (int c = 0; c < 2; ++c)
           write_ics(bw, Q + c * 960, G + c * nb, B + c * nb, max_sfb, sfb_off,
                     false, te && te[c], to ? to[c] : 0, ti + c * 12,
-                    tns_length_code, wq, sfb_off_s, nsfb_s, max_sfb_s,
+                    tl ? tl[c] : tns_length_code,
+                    wq, sfb_off_s, nsfb_s, max_sfb_s,
                     (tel && tel[c] && tol) ? tol[c] : 0,
                     til ? til + c * 12 : nullptr, tns_length_code_lo);
       }

@@ -1,8 +1,9 @@
 """Stage-by-stage psy threshold comparison vs the instrumented reference.
 
 Drives /tmp/fdkout/libfdk-enc-instr2.so (built by /tmp/fdkout/make_psy_instr.py
-+ the round-4 adj_thr hook) with FDK_DUMP_PSY, which prints per long-block AU
-per band: msMask and, per channel, raw FIXP snapshots of
++ the round-4 adj_thr hook) with FDK_DUMP_PSY, which prints one header per
+encode AU (long or short) and, for long stereo AUs, per band: msMask and per
+channel raw FIXP snapshots of
   t_spr  threshold after SpreadingMax (pre PCM floor)
   t_pcm  threshold after the PCM-quant floor (carries >>THR_SHIFTBITS=4)
   t_pre  threshold after PreEchoControl
@@ -13,7 +14,12 @@ Purpose: locate WHICH stage elevates fdk's transition-AU thresholds where
 ours stay low (the round-4 "unidentified elevation", ROADMAP.md), with the
 domain question (M/S vs L/R) resolved by comparing en_lr pre-MS ladders.
 
-Usage: python tools/diag_lc_stages.py [au ...]   (default: the bad AUs)
+The fdk psy input carries a sample-granular delay (not an AU multiple); a
+sweep aligns our analysis windows to it before comparing (printed; reuse
+with --offset N to skip the sweep).
+
+Usage: python tools/diag_lc_stages.py [--offset N] [au ...]
+(default AUs: auto-detected loud->silence transition AUs)
 """
 import os
 import sys
@@ -58,48 +64,56 @@ def run_ref(sig):
         else:
             cur["ms"].append(int(t[1]))
             vals = [float(v) for v in t[2:]]
-            cur["rows"][0].append(vals[:7])
-            cur["rows"][1].append(vals[7:])
+            cur["rows"][0].append(vals[:9])
+            cur["rows"][1].append(vals[9:])
     for a in aus:
         a["ms"] = np.asarray(a["ms"])
-        # [ch, nsfb, 7] raw FIXP (x 2^31); fields:
-        # 0 t_spr, 1 t_pcm, 2 t_pre, 3 en_lr, 4 t_pms, 5 en_ms, 6 t_ms
-        a["rows"] = np.asarray(a["rows"])
+        # [ch, nsfb, 9] raw FIXP; fields:
+        # 0 t_spr, 1 t_pcm, 2 t_pre, 3 en_lr, 4 t_pms, 5 en_ms, 6 t_ms,
+        # 7 t_pre_spr, 8 en_pre_tns
+        # thr scale: fields 0,7 carry a x2^THR_SHIFTBITS pre-shift
+        # (C_RATIO define); fields 1,2,4,6 have it removed (>>4 at the
+        # PCM-floor stage); energies (3,5,8) are unshifted.
+        a["rows"] = np.asarray(a["rows"], np.float64)
     return aus
 
 
-def our_stages(sig, aus_needed):
-    """Our band energies and stage thresholds for given input windows
-    (stateless recompute, long-block path; matches encode.py order)."""
-    from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
-    from odr_audioenc_tpu.dabplus import encode as E
-    cfg = DabPlusConfig(48000, 12, 2, aot='lc')
-    enc = DabPlusEncoder(cfg, 1)
-    dt = enc.dtype
-    bctx = E.BandCtx(enc.band_m, enc.bol)
-    out = {}
-    for au in aus_needed:
-        prev = sig[None, :, (au - 1) * 960: au * 960].astype(np.float64)
-        cur = sig[None, :, au * 960: (au + 1) * 960].astype(np.float64)
+class OurPsy:
+    def __init__(self):
+        from odr_audioenc_tpu.dabplus.model import DabPlusEncoder, DabPlusConfig
+        from odr_audioenc_tpu.dabplus import encode as E
+        self.E = E
+        cfg = DabPlusConfig(48000, 12, 2, aot='lc')
+        self.enc = DabPlusEncoder(cfg, 1)
+        self.bctx = E.BandCtx(self.enc.band_m, self.enc.bol)
+        self.max_sfb = self.enc.max_sfb
+
+    def stages(self, sig, start):
+        """Band energies/stage thresholds for the long window whose second
+        half starts at sample `start` (MDCT over [start-960, start+960))."""
+        E, enc, dt = self.E, self.enc, self.enc.dtype
+        lo, hi = start - 960, start + 960
+        if lo < 0 or hi > sig.shape[1]:
+            z = np.zeros((2, E.NB))
+            return dict(en=z + 1e-30, t_spr=z, t_ath=z, t_clamp=z)
+        prev = sig[None, :, lo:start].astype(np.float64)
+        cur = sig[None, :, start:hi].astype(np.float64)
         spec = E.mdct_frame(jnp.asarray(prev, dt), jnp.asarray(cur, dt),
                             enc.cos_basis, dt)
-        en = np.asarray(bctx.energy(spec))[0]          # [ch, NB]
+        en = np.asarray(self.bctx.energy(spec))[0]          # [ch, NB]
         base = en * 10.0 ** -2.9
-        f_high = np.broadcast_to(np.asarray(enc.pt["f_high"]), en.shape).copy()
-        f_low = np.broadcast_to(np.asarray(enc.pt["f_low"]), en.shape).copy()
+        f_high = np.asarray(enc.pt["f_high"])
+        f_low = np.asarray(enc.pt["f_low"])
         t = base.copy()
         NB = en.shape[-1]
         for b in range(1, NB):
-            t[..., b] = np.maximum(t[..., b], t[..., b - 1] * f_high[..., b - 1])
+            t[..., b] = np.maximum(t[..., b], t[..., b - 1] * f_high[b - 1])
         for b in range(NB - 2, -1, -1):
-            t[..., b] = np.maximum(t[..., b], t[..., b + 1] * f_low[..., b])
+            t[..., b] = np.maximum(t[..., b], t[..., b + 1] * f_low[b])
         t_spr = t.copy()
         t_ath = np.maximum(t, np.asarray(enc.pt["ath"]))
-        t_pcm = np.maximum(t, np.asarray(enc.pt["pcm_floor"]))
         t_clamp = np.minimum(t_ath, en + 1e30 * (en == 0))
-        out[au] = dict(en=en, t_spr=t_spr, t_ath=t_ath, t_pcm=t_pcm,
-                       t_clamp=t_clamp)
-    return out, enc.max_sfb
+        return dict(en=en, t_spr=t_spr, t_ath=t_ath, t_clamp=t_clamp)
 
 
 def db(x):
@@ -108,59 +122,92 @@ def db(x):
 
 def main():
     import signals
-    AUS = [int(a) for a in (sys.argv[1:] or [210, 291, 307, 323])]
+    args = sys.argv[1:]
+    offset = None
+    if args and args[0] == "--offset":
+        offset = int(args[1])
+        args = args[2:]
     per = 12 * 48000 // 3 // 1152 + 1
     sig = np.concatenate([signals.music_like(per), signals.speech_like(per),
                           signals.loud_tones(per)], axis=1)
     ref = run_ref(sig)
-    print(f"ref dumped {len(ref)} long AUs")
+    n_long = sum(1 for a in ref if a["nsfb"])
+    print(f"ref dumped {len(ref)} AUs ({n_long} long)")
+    ours = OurPsy()
+    max_sfb = ours.max_sfb
 
-    # ---- AU alignment: our window index <-> ref dump index, via en ladder
-    # correlation over a probe set (resolves fdk's input buffering delay) ----
-    probe = list(range(40, min(len(ref) - 2, 340), 20))
-    ours, max_sfb = our_stages(sig, [p + d for p in probe for d in (-2, -1, 0, 1, 2)])
-    best_d, best_c = 0, -2.0
-    for d in (-2, -1, 0, 1, 2):
+    # probe AUs: long, non-silent, decently structured
+    probes = [i for i in range(20, len(ref) - 2)
+              if ref[i]["nsfb"] and np.max(ref[i]["rows"][0, :, 3]) > 1e5]
+    probes = probes[:: max(1, len(probes) // 25)]
+
+    def mean_corr(d):
         cs = []
-        for p in probe:
-            r = ref[p]
-            if r["nsfb"] < 10:
-                continue
-            en_r = db(r["rows"][0, :max_sfb, 3] / 2**31)  # en_lr raw
-            en_u = db(ours[p + d]["en"][0, :max_sfb])
+        for p in probes:
+            en_r = db(ref[p]["rows"][0, :max_sfb, 3])
+            u = ours.stages(sig, p * 960 + d)
+            en_u = db(u["en"][0][:max_sfb])
             if np.std(en_r) < 1 or np.std(en_u) < 1:
                 continue
             cs.append(np.corrcoef(en_r, en_u)[0, 1])
-        c = np.mean(cs) if cs else -2
-        print(f"  AU shift {d}: mean en-ladder corr {c:.4f} over {len(cs)}")
-        if c > best_c:
-            best_c, best_d = c, d
-    print(f"alignment: ours[au + {best_d}] ~ ref[au] (corr {best_c:.4f})")
+        return float(np.mean(cs)) if cs else -2.0
 
-    ours, _ = our_stages(sig, [a + best_d for a in AUS])
+    if offset is None:
+        best = max(((mean_corr(d), d) for d in range(-1920, 1921, 120)),
+                   key=lambda t: t[0])
+        # refine around the coarse winner
+        best = max(((mean_corr(d), d)
+                    for d in range(best[1] - 120, best[1] + 121, 30)),
+                   key=lambda t: t[0])
+        offset = best[1]
+        print(f"alignment: our window start = ref_au*960 + {offset} "
+              f"(corr {best[0]:.4f})")
+    else:
+        print(f"alignment: using --offset {offset} (corr {mean_corr(offset):.4f})")
+
+    if args:
+        AUS = [int(a) for a in args]
+    else:
+        # auto-pick loud->silence transition AUs from the aligned source
+        AUS = []
+        for i in range(2, len(ref) - 2):
+            if not ref[i]["nsfb"]:
+                continue
+            s0 = sig[:, max(i * 960 + offset - 960, 0): i * 960 + offset]
+            s1 = sig[:, i * 960 + offset: i * 960 + offset + 960]
+            if s0.size and s1.size:
+                r0 = np.sqrt(np.mean(s0.astype(np.float64) ** 2) + 1e-12)
+                r1 = np.sqrt(np.mean(s1.astype(np.float64) ** 2) + 1e-12)
+                if db(r0 ** 2) > 55 and db(r1 ** 2) < 25:  # loud -> quiet
+                    AUS.append(i)
+        AUS = AUS[:6]
+        print(f"transition AUs: {AUS}")
+
     for au in AUS:
         r = ref[au]
-        u = ours[au + best_d]
+        u = ours.stages(sig, au * 960 + offset)
         sc = r["scale"]
-        # empirically align the energy scales (median over loud bands)
-        en_r = r["rows"][:, :, 3] / 2**31
-        sel = en_r[0] > 1e-9
-        off = np.median(db(u["en"][0][:len(sel)][sel]) - db(en_r[0][sel])) \
+        en_r = r["rows"][:, :, 3]
+        sel = en_r[0] > 1e3
+        off_db = np.median(db(u["en"][0][:en_r.shape[1]][sel]) - db(en_r[0][sel])) \
             if sel.any() else 0.0
-        print(f"\n=== AU {au} (ours {au + best_d}) wseq {r['wseq']} "
-              f"scale {sc} en-off {off:.1f} dB ===")
-        print(" b ms | ref: en  t_spr t_pcm t_pre t_pms t_ms(SMR dB rel en) "
-              "| ours: en  t_spr t_ath t_clamp")
+        print(f"\n=== ref AU {au} wseq {r['wseq']} scale {sc} "
+              f"en-off {off_db:.1f} dB ===")
+        print(" b ms | ref: en tnsGn | t0 t_spr t_pcm t_pre t_pms t_ms "
+              "(SMR dB rel post-TNS en) | ours: en  t_spr t_ath t_clamp")
+        SB = 2.0 ** THR_SHIFTBITS
         for b in range(min(r["nsfb"], max_sfb)):
-            row = r["rows"][:, b, :] / 2**31
+            row = r["rows"][:, b, :]
             en0 = max(row[0, 3], 1e-30)
             print(f"{b:3d} {r['ms'][b]:2d} | "
-                  f"{db(row[0, 3]) + off:6.1f} "
-                  f"{db(row[0, 0]) - db(en0):6.1f} "
-                  f"{db(row[0, 1] * 2**THR_SHIFTBITS) - db(en0):6.1f} "
-                  f"{db(row[0, 2] * 2**THR_SHIFTBITS) - db(en0):6.1f} "
-                  f"{db(row[0, 4] * 2**THR_SHIFTBITS) - db(en0):6.1f} "
-                  f"{db(row[0, 6] * 2**THR_SHIFTBITS) - db(row[0, 5]):6.1f} | "
+                  f"{db(row[0, 3]) + off_db:6.1f} "
+                  f"{db(max(row[0, 8], 1e-30)) - db(en0):5.1f} | "
+                  f"{db(row[0, 7] / SB) - db(en0):6.1f} "
+                  f"{db(row[0, 0] / SB) - db(en0):6.1f} "
+                  f"{db(row[0, 1]) - db(en0):6.1f} "
+                  f"{db(row[0, 2]) - db(en0):6.1f} "
+                  f"{db(row[0, 4]) - db(en0):6.1f} "
+                  f"{db(row[0, 6]) - db(max(row[0, 5], 1e-30)):6.1f} | "
                   f"{db(u['en'][0, b]):6.1f} "
                   f"{db(u['t_spr'][0, b]) - db(u['en'][0, b]):6.1f} "
                   f"{db(u['t_ath'][0, b]) - db(u['en'][0, b]):6.1f} "
