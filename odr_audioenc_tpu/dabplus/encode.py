@@ -34,9 +34,11 @@ HOLE_RATE = 14.0      # priority ranks opened per offset step past HOLE_O
 SPILL_O = 40          # rate-loop offset where uniform spill-degradation
                       # takes over from the capped threshold reduction
 BISECT_STEPS = None   # profiling override for the rate-loop bisect depth
-REFINE_ROUNDS = 2     # afterburner refinement rounds (-A disables via
+FRAC_BISECT_STEPS = 5  # fractional offset refinement (resolution 1/32 o
+                       # ~ 0.17 scf - see the rate-loop comment)
+REFINE_ROUNDS = int(os.environ.get('ODR_REFINE_ROUNDS', 4))     # afterburner refinement rounds (-A disables via
                       # encode_au(refine_rounds=0); AACENC_AFTERBURNER)
-REFINE_BANDS = 4      # worst-NMR bands refined per round
+REFINE_BANDS = int(os.environ.get('ODR_REFINE_BANDS', 8))      # worst-NMR bands refined per round
 
 
 def _mmdt():
@@ -51,7 +53,13 @@ def _mmdt():
 TNS_MAX_ORDER = 12      # LC long windows (14496-3 table 4.156)
 TNS_GAIN_THRESH = 1.437  # aacenc_tns.cpp:447 threshOn[HIFILT]=1437 (/1000)
 TNS_LO_ORDER = 5         # aacenc_tns.cpp:451 tnsLimitOrder[LOFILT]=maxOrder-7
-_TNS_IQFAC4 = (8.0 - 0.5) / (np.pi / 2.0)  # 4-bit arcsine quantizer
+# 4-bit arcsine quantizer: the decoder (FDKaacDec_tnsCoeff4) reconstructs
+# positive indices as sin(i/iqfac) with iqfac = 7.5/(pi/2) but NEGATIVE
+# indices with iqfac_m = 8.5/(pi/2) (asymmetric per 14496-3); the encoder
+# border table (FDKaacEnc_tnsCoeff4Borders) is nearest-neighbor in the
+# matching regime
+_TNS_IQFAC4 = (8.0 - 0.5) / (np.pi / 2.0)
+_TNS_IQFAC4_M = (8.0 + 0.5) / (np.pi / 2.0)
 
 
 def _acf_norm(x, lags):
@@ -94,14 +102,19 @@ def _quant_stepup(ks, dtype, out_order=TNS_MAX_ORDER):
     direct form.  Returns (idx [..., out_order], order, sum_sqr,
     a_hat [..., out_order])."""
     max_order = ks.shape[-1]
-    idx = jnp.clip(jnp.round(jnp.arcsin(ks) * _TNS_IQFAC4), -8, 7) \
+    asn = jnp.arcsin(ks)
+    idx = jnp.where(ks >= 0,
+                    jnp.clip(jnp.round(asn * _TNS_IQFAC4), 0, 7),
+                    jnp.clip(jnp.round(asn * _TNS_IQFAC4_M), -8, 0)) \
         .astype(jnp.int32)
     nz = idx != 0
     order = jnp.where(nz.any(-1),
                       max_order - jnp.argmax(nz[..., ::-1], -1), 0)
     sum_sqr = (idx * idx).sum(-1)
     idx = jnp.where(jnp.arange(max_order) < order[..., None], idx, 0)
-    khat = jnp.sin(idx.astype(dtype) / _TNS_IQFAC4)
+    khat = jnp.where(idx >= 0,
+                     jnp.sin(idx.astype(dtype) / _TNS_IQFAC4),
+                     jnp.sin(idx.astype(dtype) / _TNS_IQFAC4_M))
     ah = jnp.zeros(ks.shape[:-1] + (max_order + 1,), dtype) \
         .at[..., 0].set(1.0)
     for m in range(1, max_order + 1):
@@ -148,7 +161,8 @@ def tns_analysis_fdk(spec, lo_start, hi_start, stop, dtype):
 
     ks_hi, pg_hi = _levinson(r_hi, TNS_MAX_ORDER, dtype)
     idx_hi, order_hi, ssq_hi, ah_hi = _quant_stepup(ks_hi, dtype)
-    en_hi = ((pg_hi > TNS_GAIN_THRESH)
+    _gt = float(os.environ.get("ODR_TNS_GATE", "0")) or TNS_GAIN_THRESH
+    en_hi = ((pg_hi > _gt)
              | (ssq_hi > TNS_MAX_ORDER // 2 + 2)) & (order_hi > 0)
 
     ks_lo, pg_lo = _levinson(r_lo, TNS_LO_ORDER, dtype)
@@ -158,6 +172,8 @@ def tns_analysis_fdk(spec, lo_start, hi_start, stop, dtype):
     lo_quality = (((pg_lo > 1.5) & (pg_lo < 16.0 * TNS_LO_ORDER))
                   | ((ssq_lo > 9) & (ssq_lo < 22 * TNS_LO_ORDER))) \
         & (order_lo > 0)
+    if os.environ.get("ODR_TNS_NOLO"):
+        lo_quality = lo_quality & False
     en_lo = en_hi & lo_quality
 
     # merge when the two filters agree on the first LO-order indices
@@ -1214,14 +1230,22 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         start_b = jnp.where(is_short[:, None, None],
                             3 if modify_minsnr else 0, start_b)
     hole_cand = bsel_c & ~no_ah & (en_w > thr_w) & (pos >= start_b)
-    ld_en = jnp.log2(jnp.maximum(en, 1e-30))
+    # hole ordering uses the PRE-TNS (source) energies: a hole deletes the
+    # band entirely, so its decoded error is the ORIGINAL band energy, not
+    # the (possibly 20+ dB smaller) TNS residual.  Ranking by post-TNS
+    # energies made TNS-covered bands - tiny residual, loud source - look
+    # like cheap holes and erased exactly the 1-4 kHz bands the reference
+    # keeps coded on transition AUs (tools/diag_lc_delivered.py: decoded
+    # noise = en_pre where our counted residual dist was at threshold).
+    en_hole = jnp.maximum(en, en_pre)
+    ld_en = jnp.log2(jnp.maximum(en_hole, 1e-30))
     big = jnp.asarray(1e30, dtype)
     mn = jnp.min(jnp.where(hole_cand, ld_en, big), axis=(-2, -1),
                  keepdims=True)
     n_cand = jnp.maximum(hole_cand.sum(axis=(-2, -1), keepdims=True), 1)
     avg = jnp.log2(jnp.maximum(
-        jnp.sum(jnp.where(hole_cand, en, 0.0), axis=(-2, -1), keepdims=True)
-        / n_cand, 1e-30))
+        jnp.sum(jnp.where(hole_cand, en_hole, 0.0),
+                axis=(-2, -1), keepdims=True) / n_cand, 1e-30))
     fr = jnp.asarray([(2 * k + 1) / 15.0 for k in range(8)], dtype)
     borders = mn[..., None] + (avg - mn)[..., None] * fr    # [..,1,1,8]
     k0 = jnp.sum(ld_en[..., None] > borders, -1)            # [S,ch,NB] 0..8
@@ -1386,8 +1410,13 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
 
     # bisect the reduction exponent: bits(o) is monotone non-increasing in o,
     # so the smallest fitting offset in [O_LO, O_HI] is found with
-    # ceil(log2(range)) exact counts instead of a dense coarse+fine scan
-    O_LO, O_HI = -64, 63
+    # ceil(log2(range)) exact counts instead of a dense coarse+fine scan.
+    # O_LO = 0: never spend below the psy demand - like the reference,
+    # sub-demand surplus is BANKED (leftover -> reservoir) and drained at
+    # hard AUs, where a bit buys far more NMR than on easy AUs (measured:
+    # force-spending easy AUs starved the transition AUs the PEAQ gap
+    # concentrates in).  The refine loop still adds targeted precision.
+    O_LO, O_HI = 0, 63
     n_steps = BISECT_STEPS if BISECT_STEPS is not None else \
         int(np.ceil(np.log2(O_HI - O_LO + 1)))
     lo = jnp.full_like(budget_bits, O_LO)
@@ -1416,10 +1445,30 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         bits, q, books, gains = count_for_gains(gains)
     else:
         (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=n_steps)
-        # hi = smallest offset whose (upper-bound) count fits, or O_HI if
-        # none; the final DP count can only be smaller, so the budget is
-        # never overrun
-        bits, (q, gains, books) = try_offset(hi, use_dp=True)
+        # hi = smallest INTEGER offset whose (upper-bound) count fits.  One
+        # integer o step moves every scf by ~5 units (thr_red ~ 2^(2o) in
+        # the reduction-dominated regime, scf = 8.8585*log10 -> 5.33
+        # scf/o), so stopping here leaves up to several hundred bits of a
+        # loud AU's budget unused - measured 1960/2200 bits on the
+        # transition AUs the PEAQ gap concentrates in.  A short FRACTIONAL
+        # bisect over (hi-1, hi] (bits(o) stays monotone; try_offset is
+        # continuous in o) recovers that budget like the reference's
+        # per-band scf iteration does.
+        flo = jnp.maximum(hi.astype(dtype) - 1.0, float(O_LO))
+        fhi = hi.astype(dtype)
+
+        def fbisect(carry, _):
+            flo, fhi = carry
+            mid = 0.5 * (flo + fhi)
+            t, _ = try_offset(mid, use_dp=False)
+            fit = t <= budget_bits
+            return (jnp.where(fit, flo, mid), jnp.where(fit, mid, fhi)), None
+
+        (flo, fhi), _ = jax.lax.scan(fbisect, (flo, fhi), None,
+                                     length=FRAC_BISECT_STEPS)
+        # the final DP count can only be smaller than the upper-bound
+        # count, so the budget is never overrun
+        bits, (q, gains, books) = try_offset(fhi, use_dp=True)
     # `gains` now carries the transmitted values: scalefactors on spectral
     # bands, noise energies on PNS bands (the writers' noise chain source)
 
@@ -1507,7 +1556,7 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
         bctx.to_lines(jnp.exp2(0.25 * gains.astype(dtype)))
     dist = bctx.reduce_f((x_abs - deq_f) ** 2)
     return dict(q=q, gains=gains, books=books, bits=bits, thr=thr, en=en,
-                dist=dist, en_pre=en_pre,
+                dist=dist, en_pre=en_pre, minsnr=minsnr,
                 ms_used=ms_used, tns_en=tns_en, tns_order=tns_order,
                 tns_idx=tns_idx, tns_en_lo=tns_en_lo,
                 tns_order_lo=tns_order_lo, tns_idx_lo=tns_idx_lo,

@@ -461,6 +461,7 @@ class DabPlusEncoder:
                         o["last_patch"]), \
                     {"thr": o["thr"], "en": o["en"], "bits": o["bits"],
                      "dist": o["dist"], "en_pre": o["en_pre"],
+                     "minsnr": o["minsnr"],
                      "budget": budget_au + allow, "gains": o["gains"],
                      "books": o["books"], "q": o["q"],
                      "tns_en": o["tns_en"], "tns_order": o["tns_order"],

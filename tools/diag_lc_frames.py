@@ -11,6 +11,7 @@ root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo"
 sys.path.insert(0, root + "/tools")
 sys.path.insert(0, root + "/tests")
 sys.path.insert(0, root)
+import os
 import numpy as np
 import signals
 import peaq
@@ -21,7 +22,8 @@ per = 12 * 48000 // 3 // 1152 + 1
 sig = np.concatenate([signals.music_like(per), signals.speech_like(per),
                       signals.loud_tones(per)], axis=1)
 
-cfg = DabPlusConfig(48000, 12, 2, aot="lc")
+SUBCH = int(os.environ.get("DIAG_SUBCH", "12"))
+cfg = DabPlusConfig(48000, SUBCH, 2, aot="lc")
 enc = DabPlusEncoder(cfg, 1)
 state = enc.init_state()
 spf = cfg.num_aus * cfg.au_samples
@@ -32,7 +34,7 @@ for i in range(sig.shape[1] // spf):
                                        add_rs=False)
     ours.append(dec.decode_superframe(fr[0]))
 ours = np.concatenate(ours, axis=1)
-fenc = fdk_ref.FdkEncoder(channels=2, sample_rate=48000, subchannel_index=12,
+fenc = fdk_ref.FdkEncoder(channels=2, sample_rate=48000, subchannel_index=SUBCH,
                           aot=fdk_ref.AOT_DABPLUS_AAC_LC, afterburner=1)
 fdec = fdk_ref.FdkDecoder()
 ref = np.concatenate([fdec.decode_superframe(sf) for sf in fenc.encode(sig)],

@@ -44,10 +44,13 @@ def run_ref(sig, lib_path, dump_path):
                 cur = {"mdctScale": int(t[4]), "wseq": int(t[6]),
                        "max_sfb": int(t[8]), "en": [[], []],
                        "thr": [[], []], "minsnr": [[], []],
-                       "thr_psy": [[], []]}
+                       "thr_psy": [[], []], "enfac": [[], []]}
                 aus.append(cur)
         else:
-            b, en, thr, msnr, thrp = int(t[0]), *map(float, t[1:5])
+            # hook field order: b enFacLd energyLd thresholdLd minSnrLd
+            # thrPsySnap (adj_thr_instr.cpp fdk_dump_thr)
+            b, enfac, en, thr, msnr, thrp = int(t[0]), *map(float, t[1:6])
+            cur["enfac"][ch].append(enfac)
             cur["en"][ch].append(en)
             cur["thr"][ch].append(thr)
             cur["minsnr"][ch].append(msnr)
