@@ -67,6 +67,10 @@ def make_argparser():
     p.add_argument("-s", "--silence", type=int, default=0)
     p.add_argument("-S", "--stats", default=None)
     p.add_argument("-g", "--audio-gain", type=float, default=0.0)
+    # v3 backward-compat alias (odr-audioenc.cpp:1385,1554: deprecation
+    # warning, then the same dB gain)
+    p.add_argument("--vlc-gain", type=float, default=None)
+    p.add_argument("--edi-verbose", action="store_true")
     p.add_argument("-D", "--drift-comp", action="store_true")
     p.add_argument("-l", "--level", action="store_true")
     p.add_argument("-R", "--restart-on-fault", action="store_true")
@@ -132,7 +136,9 @@ def build_outputs(args, is_dabplus):
             proto, rest = uri.split("://", 1)
             host, port = rest.rsplit(":", 1)
             dests.append(EdiDestination(proto, host, int(port)))
-        conf = EdiConfig(enable_pft=args.fec > 0, fec=args.fec, destinations=dests)
+        conf = EdiConfig(enable_pft=args.fec > 0, fec=args.fec,
+                         destinations=dests,
+                         verbose=getattr(args, "edi_verbose", False))
         edi_out = EdiOutput(conf, tist=args.timestamp_delay is not None,
                             delay_ms=args.timestamp_delay or 0)
     if not (file_out or zmq_out or edi_out):
@@ -242,6 +248,10 @@ def run_single(args):
                   f"validation only", file=sys.stderr)
 
     state = enc.init_state()
+    if args.vlc_gain is not None:
+        print("WARNING: the --vlc-gain option has been deprecated in "
+              "favour of --audio-gain", file=sys.stderr)
+        args.audio_gain = args.vlc_gain
     gain = 10.0 ** (args.audio_gain / 20.0)
     frame_bytes = frame_samples * channels * 2
 

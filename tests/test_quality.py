@@ -45,6 +45,13 @@ POINTS = [
     (48000, 3, 2, "ps", -2.4),    # achieved -2.75 (beats the reference)
     (48000, 4, 2, "ps", -0.3),    # achieved -0.64 (beats the reference)
     (48000, 6, 2, "ps", 3.8),     # achieved +3.48 (was +3.14)
+    # 32 kHz family (round 5: first measured + gated; corpus relabelled
+    # at 32k - both encoders see identical PCM)
+    (32000, 4, 1, "sbr", 4.9),    # achieved +4.49
+    (32000, 6, 1, "sbr", 4.7),    # achieved +4.28
+    (32000, 3, 2, "ps", -1.0),    # achieved -1.40 (beats the reference)
+    (32000, 4, 2, "ps", -2.2),    # achieved -2.61 (beats the reference)
+    (32000, 12, 2, "lc", 10.2),   # achieved +9.78 (32k LC gap - ROADMAP)
 ]
 
 
