@@ -770,6 +770,9 @@ def _sbr_tabs():
         "iid14": _tab3(SB.IID_CODE_F, SB.IID_LEN_F),
         "iid30": _tab3(SB.IID_CODE_FF, SB.IID_LEN_FF),
         "icc7": _tab3(SB.ICC_CODE_F, SB.ICC_LEN_F),
+        "bal24": _tab3(SB.ENVBAL_CODE_F, SB.ENVBAL_LEN_F),
+        "bal12": _tab3(SB.ENVBAL3_CODE_F, SB.ENVBAL3_LEN_F),
+        "nbal12": _tab3(SB.NOISEBAL_CODE_F, SB.NOISEBAL_LEN_F),
         "grid": np.stack([np.asarray([m[1] for m in SB.GRID_MENU], np.int64),
                           np.asarray([m[2] for m in SB.GRID_MENU], np.int64)],
                          -1),
@@ -848,15 +851,21 @@ def sbr_slot_groups(enc, side):
     hv = jnp.where(au0, hdr_v, 0).astype(i32) * jnp.ones((S, nau, 1), i32)
     groups.append((hw, hv, 4))
     groups.append(const(1, 0))                      # bs_data_extra
+    cpl = side.get("sbr_cpl")
     if n_ch == 2:
-        groups.append(const(1, 0))                  # bs_coupling off
+        if cpl is None:
+            cpl = jnp.zeros((S, nau), bool)
+        groups.append((jnp.full((S, nau, 1), 1, i32),
+                       cpl[..., None].astype(i32), 2))   # bs_coupling
+    on_all = jnp.ones((S, nau), bool)
 
-    def grid(c):
+    def grid(c, gate=None):
         fcl, rel = _lut_cols(tg[..., c], tabs["grid"], 8)
         v12 = (fcl << 10) | (0 << 8) | (1 << 6) | (rel << 4) | (0 << 2) | 3
         v5 = 1  # FIXFIX, 1 env, hi-res
         t = tr[..., c]
-        return (jnp.where(t, 12, 5)[..., None].astype(i32),
+        g = on_all if gate is None else gate
+        return (jnp.where(g, jnp.where(t, 12, 5), 0)[..., None].astype(i32),
                 jnp.where(t, v12, v5)[..., None].astype(i32), 3)
 
     def dtdf(c):
@@ -864,24 +873,41 @@ def sbr_slot_groups(enc, side):
         return (jnp.where(t, 4, 2)[..., None].astype(i32),
                 jnp.zeros((S, nau, 1), i32), 2)
 
-    def invf_g(c):
+    def invf_g(c, gate=None):
         v = jnp.zeros((S, nau), i32)
         for i in range(n_q):
             v = (v << 2) | invf[..., c, i]
-        return (jnp.full((S, nau, 1), 2 * n_q, i32), v[..., None], 3)
+        g = on_all if gate is None else gate
+        return (jnp.where(g, 2 * n_q, 0)[..., None].astype(i32),
+                v[..., None], 3)
 
-    def env_g(c):
+    def env_g(c, gate=None, balance=False):
         t = tr[..., c]
-        w1, v1 = _delta_chain(env[..., c, :], 7, tabs["env60"], 60, ~t)
-        w2a, v2a = _delta_chain(env2[..., c, 0, :], 6, tabs["env31"], 31, t)
-        w2b, v2b = _delta_chain(env2[..., c, 1, :], 6, tabs["env31"], 31, t)
+        g = on_all if gate is None else gate
+        if balance:
+            # coupled channel-1: balance start widths + EnvBalance books
+            w1, v1 = _delta_chain(env[..., c, :], 6, tabs["bal24"], 24,
+                                  ~t & g)
+            w2a, v2a = _delta_chain(env2[..., c, 0, :], 5, tabs["bal12"],
+                                    12, t & g)
+            w2b, v2b = _delta_chain(env2[..., c, 1, :], 5, tabs["bal12"],
+                                    12, t & g)
+        else:
+            w1, v1 = _delta_chain(env[..., c, :], 7, tabs["env60"], 60,
+                                  ~t & g)
+            w2a, v2a = _delta_chain(env2[..., c, 0, :], 6, tabs["env31"],
+                                    31, t & g)
+            w2b, v2b = _delta_chain(env2[..., c, 1, :], 6, tabs["env31"],
+                                    31, t & g)
         return [(w1, v1, 4), (w2a, v2a, 4), (w2b, v2b, 4)]
 
-    def noise_g(c):
+    def noise_g(c, gate=None, balance=False):
         t = tr[..., c]
-        on = jnp.ones_like(t)
-        wa, va = _delta_chain(nq[..., c, :], 5, tabs["noise31"], 31, on)
-        wb, vb = _delta_chain(nq[..., c, :], 5, tabs["noise31"], 31, t)
+        g = on_all if gate is None else gate
+        tab, lav = (tabs["nbal12"], 12) if balance else \
+            (tabs["noise31"], 31)
+        wa, va = _delta_chain(nq[..., c, :], 5, tab, lav, g)
+        wb, vb = _delta_chain(nq[..., c, :], 5, tab, lav, t & g)
         return [(wa, va, 4), (wb, vb, 4)]
 
     def ah_g(c):
@@ -895,16 +921,23 @@ def sbr_slot_groups(enc, side):
                  jnp.where(anyf, (1 << n_hi) | v, 0)[..., None], 4))
 
     if n_ch == 2:
+        # per-AU layouts: LR = gridL gridR dtdfL dtdfR invfL invfR envL
+        # envR noiseL noiseR; COUPLED = gridL dtdfL dtdfR invfL envL
+        # noiseL envR(bal) noiseR(bal).  Complementary-gated groups in a
+        # merged order keep every slot static-shaped.
         groups.append(grid(0))
-        groups.append(grid(1))
+        groups.append(grid(1, gate=~cpl))
         groups.append(dtdf(0))
         groups.append(dtdf(1))
         groups.append(invf_g(0))
-        groups.append(invf_g(1))
+        groups.append(invf_g(1, gate=~cpl))
         groups.extend(env_g(0))
-        groups.extend(env_g(1))
-        groups.extend(noise_g(0))
-        groups.extend(noise_g(1))
+        groups.extend(noise_g(0, gate=cpl))          # coupled: noise L here
+        groups.extend(env_g(1, gate=~cpl))
+        groups.extend(env_g(1, gate=cpl, balance=True))
+        groups.extend(noise_g(0, gate=~cpl))
+        groups.extend(noise_g(1, gate=~cpl))
+        groups.extend(noise_g(1, gate=cpl, balance=True))
         groups.append(ah_g(0))
         groups.append(ah_g(1))
     else:

@@ -374,6 +374,10 @@ class DabPlusEncoder:
             # extraction (sbr.sbr_side_analysis), history carried in state
             side, qmf_hist = SBR.sbr_side_analysis(
                 x_sbr, state["qmf_hist"], self.sbr_params, nau, self.dtype)
+            if ch == 2:
+                # stereo (non-PS) SBR: per-AU channel coupling when the
+                # coupled coding is cheaper (bs_coupling, SBR_SWITCH_LRC)
+                side = SBR.apply_coupling(side, self.sbr_params)
             sbr_out.update(side)
             state = dict(state, qmf_hist=qmf_hist)
             ps_bits = None
@@ -682,7 +686,9 @@ class DabPlusEncoder:
                         add_harm_r=ah[1] if stereo else None,
                         grid_idx=int(tg[0]) if tr[0] else None,
                         grid_idx_r=(int(tg[1]) if tr[1] else None)
-                        if stereo else None)
+                        if stereo else None,
+                        coupled=bool(out["sbr_cpl"][s, a])
+                        if stereo and "sbr_cpl" in out else False)
                 aus.append(bw)
             frames.append(self.packer.assemble(aus, add_rs=add_rs))
         return frames

@@ -527,6 +527,126 @@ def sbr_side_analysis(x, hist, params, nau, dtype=jnp.float32):
     return side, hist
 
 
+ENVBAL_CODE_F = _npz["sbr_bookSbrEnvBalanceC10F"]   # LAV 24 (amp res 1.5)
+ENVBAL_LEN_F = _npz["sbr_bookSbrEnvBalanceL10F"]
+ENVBAL3_CODE_F = _npz["sbr_bookSbrEnvBalanceC11F"]  # LAV 12 (amp res 3.0)
+ENVBAL3_LEN_F = _npz["sbr_bookSbrEnvBalanceL11F"]
+# noise balance FREQ deltas use the envelope-balance-3.0 book (decoder
+# env_extr.cpp:880: hcb_noiseF = EnvBalance11F)
+NOISEBAL_CODE_F = ENVBAL3_CODE_F
+NOISEBAL_LEN_F = ENVBAL3_LEN_F
+
+# encoder pan quantization tables (FDKsbrEnc mapPanorama,
+# env_est.cpp:119-121): nearest entry, offset = last entry; values are in
+# the mode's level units and always even, so wire values are the HALVED
+# domain (decoder applies <<1, envDataTableCompFactor)
+_PAN15 = np.asarray([0, 2, 4, 6, 8, 12, 16, 20, 24])  # amp res 1.5, offset 24
+_PAN30 = np.asarray([0, 2, 4, 8, 12])                  # amp res 3.0, offset 12
+
+
+def _pan_tx(diff, table, offset):
+    """Quantize a level-index difference L-R to the nearest pan-table
+    entry and return the WIRE value (halved domain): (offset + sign*pan)/2.
+    diff: [...] int."""
+    tab = jnp.asarray(table, jnp.int32)
+    a = jnp.abs(diff)[..., None]
+    idx = jnp.argmin(jnp.abs(a - tab), axis=-1)
+    pan = tab[idx] * jnp.sign(diff)
+    return ((offset + pan) // 2).astype(jnp.int32)
+
+
+def apply_coupling(side, params):
+    """Stereo SBR channel coupling (FDKsbrEnc SBR_SWITCH_LRC analogue,
+    env_est.cpp:1376-1770): compute the coupled representation - channel 0
+    carries the per-band AVERAGE of the two channels' quantized envelope
+    levels, channel 1 the pan/balance indices (mapPanorama); noise floors
+    couple in the linear domain (coupleNoiseFloor).  Both codings are
+    exactly bit-counted and the cheaper one is chosen PER AU
+    (payloadbitsCOUPLING < payloadbitsLR, env_est.cpp:1739).  Coupling
+    additionally requires a common time grid, so it is only attempted when
+    the channels' transient framing agrees.
+
+    Rewrites side["sbr_env"/"sbr_env2"/"sbr_noise_q"] channel-1 slots with
+    balance WIRE values (halved domain) where coupled, and adds
+    side["sbr_cpl"] [S, nau] bool.  Our frequency-delta-only coding has no
+    cross-frame state, so per-AU switching is free (the reference resets
+    its dtdf state on mode flips, env_est.cpp:1670)."""
+    env = side["sbr_env"]            # [S,nau,2,n_hi] (1.5 dB indices)
+    env2 = side["sbr_env2"]          # [S,nau,2,2,n_hi] (3.0 dB indices)
+    tr = side["sbr_transient"]       # [S,nau,2] bool
+    nq = side["sbr_noise_q"]         # [S,nau,2,n_q] ints 0..30
+    ah = side["sbr_addharm"]         # [S,nau,2,n_hi]
+    tg = side["sbr_tgrid"]           # [S,nau,2]
+    n_hi, n_q = params.n_hi, params.n_q
+
+    grids_ok = (tr[..., 0] == tr[..., 1]) \
+        & (~tr[..., 0] | (tg[..., 0] == tg[..., 1]))
+
+    env_cl = (env[..., 0, :] + env[..., 1, :] + 1) >> 1
+    env_bal = _pan_tx(env[..., 0, :] - env[..., 1, :], _PAN15, 24)
+    env2_cl = (env2[..., 0, :, :] + env2[..., 1, :, :] + 1) >> 1
+    env2_bal = _pan_tx(env2[..., 0, :, :] - env2[..., 1, :, :], _PAN30, 12)
+    # noise: couple in the linear domain (q = 30 - log2(nf)):
+    # q_l' = 30 - log2((nf_L + nf_R)/2); balance = log2(nf_L/nf_R) = qR-qL
+    qmin = jnp.minimum(nq[..., 0, :], nq[..., 1, :]).astype(jnp.float32)
+    dq = jnp.abs(nq[..., 0, :] - nq[..., 1, :]).astype(jnp.float32)
+    nq_cl = jnp.clip(jnp.round(
+        qmin + 1.0 - jnp.log2(1.0 + jnp.exp2(-dq))), 0, 30).astype(jnp.int32)
+    nq_bal = _pan_tx(nq[..., 1, :] - nq[..., 0, :], _PAN30, 12)
+
+    # exact bits both ways (mirrors payload_bits per-channel pieces)
+    lenf = jnp.asarray(ENV_LEN_F, jnp.int32)
+    len3 = jnp.asarray(ENV3_LEN_F, jnp.int32)
+    lenn = jnp.asarray(NOISE_LEN_F, jnp.int32)
+    lbal = jnp.asarray(ENVBAL_LEN_F, jnp.int32)
+    lbal3 = jnp.asarray(ENVBAL3_LEN_F, jnp.int32)
+    lnbal = jnp.asarray(NOISEBAL_LEN_F, jnp.int32)
+
+    def db_(v, table, lav):
+        d = jnp.clip(v[..., 1:] - v[..., :-1], -lav, lav) + lav
+        return table[d].sum(-1)
+
+    tr0 = tr[..., 0]
+    # LR: grids both + dtdf both + invf both + env both + noise both
+    env1_lr = (7 + db_(env[..., 0, :], lenf, 60)
+               + 7 + db_(env[..., 1, :], lenf, 60))
+    env2_lr = sum(6 + db_(env2[..., c, e, :], len3, 31)
+                  for c in (0, 1) for e in (0, 1))
+    noise_lr1 = (5 + db_(nq[..., 0, :], lenn, 31)
+                 + 5 + db_(nq[..., 1, :], lenn, 31))
+    bits_lr = jnp.where(tr0, env2_lr + 2 * noise_lr1 + 24 + 8,
+                        env1_lr + noise_lr1 + 10 + 4) + 4 * n_q
+    # coupled: grid ch0 only + dtdf both + invf once + env/noise pairs
+    env1_cp = (7 + db_(env_cl, lenf, 60) + 6 + db_(env_bal, lbal, 24))
+    env2_cp = sum(6 + db_(env2_cl[..., e, :], len3, 31)
+                  + 5 + db_(env2_bal[..., e, :], lbal3, 12) for e in (0, 1))
+    noise_cp1 = (5 + db_(nq_cl, lenn, 31) + 5 + db_(nq_bal, lnbal, 12))
+    bits_cp = jnp.where(tr0, env2_cp + 2 * noise_cp1 + 12 + 8,
+                        env1_cp + noise_cp1 + 5 + 4) + 2 * n_q
+
+    cpl = grids_ok & (bits_cp < bits_lr)
+    c2 = cpl[..., None]
+    c3 = cpl[..., None, None]
+    side = dict(side)
+    side["sbr_env"] = jnp.stack(
+        [jnp.where(c2, env_cl, env[..., 0, :]),
+         jnp.where(c2, env_bal, env[..., 1, :])], axis=-2)
+    side["sbr_env2"] = jnp.stack(
+        [jnp.where(c3, env2_cl, env2[..., 0, :, :]),
+         jnp.where(c3, env2_bal, env2[..., 1, :, :])], axis=-3)
+    side["sbr_noise_q"] = jnp.stack(
+        [jnp.where(c2, nq_cl, nq[..., 0, :]),
+         jnp.where(c2, nq_bal, nq[..., 1, :])], axis=-2)
+    # coupled AUs share ch0's framing on the wire
+    side["sbr_transient"] = jnp.stack(
+        [tr[..., 0], jnp.where(cpl, tr[..., 0], tr[..., 1])], axis=-1)
+    side["sbr_tgrid"] = jnp.stack(
+        [tg[..., 0], jnp.where(cpl, tg[..., 0], tg[..., 1])], axis=-1)
+    side["sbr_cpl"] = cpl
+    del ah
+    return side
+
+
 def payload_bits(side, params, nau, ps_bits=None):
     """Exact device-side SBR payload size per AU [S, nau] in bits,
     mirroring write_sbr_payload bit-for-bit (so the core rate loop hands
@@ -558,6 +678,25 @@ def payload_bits(side, params, nau, ps_bits=None):
     ch_bits = grid + dtdf + 2 * n_q + env_bits + noise_bits + addharm
     n_ch = env.shape[2]
     body = ch_bits.sum(2) + (1 if n_ch == 2 else 0) + 1     # coupling + extra
+    if n_ch == 2 and "sbr_cpl" in side:
+        # coupled AUs (apply_coupling): one grid + one invf, balance books
+        # + balance start widths for channel 1
+        lbal = jnp.asarray(ENVBAL_LEN_F, jnp.int32)
+        lbal3 = jnp.asarray(ENVBAL3_LEN_F, jnp.int32)
+        lnbal = jnp.asarray(NOISEBAL_LEN_F, jnp.int32)
+        ch1e1 = 6 + delta_bits(env[..., 1, :], lbal, 24)
+        ch1e2 = 5 + delta_bits(env2[..., 1, 0, :], lbal3, 12) \
+            + 5 + delta_bits(env2[..., 1, 1, :], lbal3, 12)
+        ch1n1 = 5 + delta_bits(nq[..., 1, :], lnbal, 12)
+        tr0 = tr[..., 0]
+        ch1_env = jnp.where(tr0, ch1e2, ch1e1)
+        ch1_noise = jnp.where(tr0, 2 * ch1n1, ch1n1)
+        body_cpl = (ch_bits[..., 0]                     # full ch0
+                    + jnp.where(tr0, 4, 2)              # dtdf ch1
+                    + ch1_env + ch1_noise
+                    + 1 + jnp.where(ah[..., 1, :].any(-1), n_hi, 0)
+                    + 1 + 1)                            # coupling + extra
+        body = jnp.where(side["sbr_cpl"], body_cpl, body)
     if ps_bits is not None:
         # replace the plain bs_extended_data=0 bit with the PS extension:
         # bs_extended_data(1) + size(4[+8]) + ext payload (ext id(2) + ps
@@ -790,16 +929,23 @@ def _write_invf(sbr, params, modes):
         sbr.put(m, 2)
 
 
-def _write_env(sbr, envs, params):
+def _write_env(sbr, envs, params, balance=False):
     """Envelope data, FREQ delta coding, hi-res bands.  amp-res follows the
     decoder contract (env_extr.cpp): FIXFIX 1-env frames always use 1.5 dB
     (7-bit start + LAV60 books); multi-envelope frames use the header's
     3.0 dB (6-bit start + LAV31 books), like the reference
-    (code_env.cpp:123-185 table switch on currentAmpResFF)."""
+    (code_env.cpp:123-185 table switch on currentAmpResFF).  balance:
+    coupled channel-1 values (halved wire domain): balance start widths
+    (6/5 bits) + EnvBalance books (env_extr.cpp:1072-1090)."""
     amp15 = len(envs) == 1
-    start_bits = 7 if amp15 else 6
-    code, ln, lav = (ENV_CODE_F, ENV_LEN_F, 60) if amp15 else \
-        (ENV3_CODE_F, ENV3_LEN_F, 31)
+    if balance:
+        start_bits = 6 if amp15 else 5
+        code, ln, lav = (ENVBAL_CODE_F, ENVBAL_LEN_F, 24) if amp15 else \
+            (ENVBAL3_CODE_F, ENVBAL3_LEN_F, 12)
+    else:
+        start_bits = 7 if amp15 else 6
+        code, ln, lav = (ENV_CODE_F, ENV_LEN_F, 60) if amp15 else \
+            (ENV3_CODE_F, ENV3_LEN_F, 31)
     for env_vals in envs:
         v0 = int(env_vals[0])
         sbr.put(v0, start_bits)
@@ -811,17 +957,20 @@ def _write_env(sbr, envs, params):
             prev = prev + d
 
 
-def _write_noise(sbr, noise_vals, params, n_env):
+def _write_noise(sbr, noise_vals, params, n_env, balance=False):
     """Noise floor data: per noise envelope, first band 5 bits then FREQ
-    deltas with the LAV31 book (bit_sbr.cpp:751-830 writeNoiseLevelData)."""
+    deltas with the LAV31 book (bit_sbr.cpp:751-830 writeNoiseLevelData);
+    balance channels use the EnvBalance11 book (LAV 12)."""
+    code, ln, lav = (NOISEBAL_CODE_F, NOISEBAL_LEN_F, 12) if balance else \
+        (NOISE_CODE_F, NOISE_LEN_F, 31)
     for _ in range(1 if n_env == 1 else 2):
         v0 = int(noise_vals[0])
         sbr.put(v0, 5)
         prev = v0
         for i in range(1, params.n_q):
             d = int(noise_vals[i]) - prev
-            d = max(-31, min(31, d))
-            sbr.put(int(NOISE_CODE_F[d + 31]), int(NOISE_LEN_F[d + 31]))
+            d = max(-lav, min(lav, d))
+            sbr.put(int(code[d + lav]), int(ln[d + lav]))
             prev = prev + d
 
 
@@ -829,7 +978,7 @@ def write_sbr_payload(bw_target, envs, noise_vals, params, write_header=True,
                       ps_iid=None, envs_r=None, ps_icc=None,
                       invf=1, invf_r=1, noise_vals_r=None, add_harm=None,
                       add_harm_r=None, ps_fine=False,
-                      grid_idx=None, grid_idx_r=None):
+                      grid_idx=None, grid_idx_r=None, coupled=False):
     """Append a FIL element with EXT_SBR_DATA carrying one SBR frame.
 
     bw_target: the AU BitWriter (after the SCE/CPE).  envs: list of 1 or 2
@@ -865,7 +1014,21 @@ def write_sbr_payload(bw_target, envs, noise_vals, params, write_header=True,
         sbr.put(params.bs_alter_scale, 1)
         sbr.put(params.bs_noise_bands, 2)
     sbr.put(0, 1)                         # bs_data_extra
-    if cpe:
+    if cpe and coupled:
+        # coupled layout (decoder env_extr.cpp:637-810): one grid + one
+        # invf; env/noise interleaved per channel; ch1 = balance values
+        sbr.put(1, 1)                     # bs_coupling on
+        _write_grid(sbr, nl, grid_idx)    # grid L only (R copies)
+        _write_dtdf(sbr, nl)              # dtdf L
+        _write_dtdf(sbr, nr)              # dtdf R
+        _write_invf(sbr, params, invf)    # invf L only (R copies)
+        _write_env(sbr, envs, params)
+        _write_noise(sbr, noise_vals, params, nl)
+        _write_env(sbr, envs_r, params, balance=True)
+        _write_noise(sbr, noise_vals_r, params, nr, balance=True)
+        _write_add_harm(sbr, add_harm)    # sinusoidal coding L
+        _write_add_harm(sbr, add_harm_r)  # sinusoidal coding R
+    elif cpe:
         sbr.put(0, 1)                     # bs_coupling off
         _write_grid(sbr, nl, grid_idx)    # grid L
         _write_grid(sbr, nr, grid_idx_r)  # grid R

@@ -170,10 +170,14 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         invf_p = _p(invf, ctypes.c_int32)
         addh_p = _p(addh, ctypes.c_uint8)
         tgrid_p = _p(tgrid, ctypes.c_int32)
+        cpl_p = None
+        if "sbr_cpl" in out_np:
+            cpl = np.ascontiguousarray(out_np["sbr_cpl"], np.uint8)
+            cpl_p = _p(cpl, ctypes.c_uint8)
     else:
         sbrp = np.asarray([0] * 8 + [12, 1, 0, 0], np.int32)
         env_p = env2_p = trans_p = None
-        nq_p = invf_p = addh_p = tgrid_p = None
+        nq_p = invf_p = addh_p = tgrid_p = cpl_p = None
     if enc.is_ps and "ps_iid" in out_np:
         iid = np.ascontiguousarray(out_np["ps_iid"], np.int32)
         iid_p = _p(iid, ctypes.c_int32)
@@ -224,7 +228,7 @@ def dabplus_pack_batch(enc, out_np, pads, add_rs):
         _p(tns_order_lo, ctypes.c_int32) if tns_order_lo is not None else None,
         _p(tns_idx_lo, ctypes.c_int32) if tns_idx_lo is not None else None,
         ctypes.c_int(tlc_lo),
-        env_p, env2_p, trans_p, nq_p, invf_p, addh_p, tgrid_p,
+        env_p, env2_p, trans_p, nq_p, invf_p, addh_p, tgrid_p, cpl_p,
         iid_p, iidf_p, psf_p, icc_p, pb_p, pl_p, ctypes.c_int(stride),
         _p(sbrp, ctypes.c_int32), _p(sfp, ctypes.c_int32),
         _p(out, ctypes.c_uint8), ctypes.c_int(out_stride),

@@ -376,19 +376,28 @@ int write_ps_data(BitWr &bw, const int32_t *iid, const int32_t *icc,
   return int(bw.bitpos - n0);
 }
 
-void write_env(BitWr &sbr, const int32_t *env_vals, int nb, bool amp15) {
+void write_env(BitWr &sbr, const int32_t *env_vals, int nb, bool amp15,
+               bool balance = false) {
   /* 1-envelope frames: 1.5 dB units (7-bit start, LAV60 books); split
-   * frames: 3.0 dB (6-bit start, LAV31 books) - code_env.cpp:123-185 */
+   * frames: 3.0 dB (6-bit start, LAV31 books) - code_env.cpp:123-185.
+   * balance: coupled ch1 wire values (halved domain), balance start
+   * widths (6/5) + EnvBalance books. */
   int prev = env_vals[0];
-  sbr.put(uint32_t(prev), amp15 ? 7 : 6);
-  int lav = amp15 ? 60 : 31;
+  sbr.put(uint32_t(prev), balance ? (amp15 ? 6 : 5) : (amp15 ? 7 : 6));
+  int lav = balance ? (amp15 ? 24 : 12) : (amp15 ? 60 : 31);
   for (int i = 1; i < nb; ++i) {
     int d = env_vals[i] - prev;
     d = d < -lav ? -lav : (d > lav ? lav : d);
-    if (amp15)
+    if (balance) {
+      if (amp15)
+        sbr.put(ENVBAL_CODE_F[d + 24], ENVBAL_LEN_F[d + 24]);
+      else
+        sbr.put(ENVBAL3_CODE_F[d + 12], ENVBAL3_LEN_F[d + 12]);
+    } else if (amp15) {
       sbr.put(ENV_CODE_F[d + 60], ENV_LEN_F[d + 60]);
-    else
+    } else {
       sbr.put(ENV3_CODE_F[d + 31], ENV3_LEN_F[d + 31]);
+    }
     prev = prev + d;
   }
 }
@@ -402,7 +411,8 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
                        const int32_t *noise_r,
                        const uint8_t *add_harm_l = nullptr,
                        const uint8_t *add_harm_r = nullptr, int n_hi = 0,
-                       int ps_fine = 0, int gidx_l = -1, int gidx_r = -1) {
+                       int ps_fine = 0, int gidx_l = -1, int gidx_r = -1,
+                       bool coupled = false) {
   /* P: 0 start_freq, 1 stop_freq, 2 xover, 3 freq_scale, 4 alter_scale,
    * 5 noise_bands, 6 n_q, 7 n_lo, 10 n_hi */
   if (!noise_r) noise_r = noise_l;
@@ -444,18 +454,23 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
     for (int e = 0; e < ne; ++e) sbr.put(0, 1);
     for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) sbr.put(0, 1);
   };
-  auto envw = [&](const int32_t *const *envs, int ne) {
-    for (int e = 0; e < ne; ++e) write_env(sbr, envs[e], n_hi, ne == 1);
+  auto envw = [&](const int32_t *const *envs, int ne, bool bal = false) {
+    for (int e = 0; e < ne; ++e) write_env(sbr, envs[e], n_hi, ne == 1, bal);
   };
-  auto noisew = [&](int ne, const int32_t *nv) {
-    /* first band 5 bits, then FREQ deltas (bit_sbr.cpp:751-830) */
+  auto noisew = [&](int ne, const int32_t *nv, bool bal = false) {
+    /* first band 5 bits, then FREQ deltas (bit_sbr.cpp:751-830);
+     * balance noise uses the EnvBalance11 book (LAV 12) */
+    int lav = bal ? 12 : 31;
     for (int e = 0; e < (ne == 1 ? 1 : 2); ++e) {
       int prev = nv[0];
       sbr.put(uint32_t(prev), 5);
       for (int i = 1; i < P[6]; ++i) {
         int d = nv[i] - prev;
-        d = d < -31 ? -31 : (d > 31 ? 31 : d);
-        sbr.put(NOISE_CODE_F[d + 31], NOISE_LEN_F[d + 31]);
+        d = d < -lav ? -lav : (d > lav ? lav : d);
+        if (bal)
+          sbr.put(ENVBAL3_CODE_F[d + 12], ENVBAL3_LEN_F[d + 12]);
+        else
+          sbr.put(NOISE_CODE_F[d + 31], NOISE_LEN_F[d + 31]);
         prev = prev + d;
       }
     }
@@ -475,7 +490,20 @@ void write_sbr_payload(BitWr &bw, const int32_t *const *envs_l, int nl,
       for (int b = 0; b < n_hi; ++b) sbr.put(flags[b] ? 1 : 0, 1);
     }
   };
-  if (envs_r) {
+  if (envs_r && coupled) {
+    /* sbr_channel_pair_element, coupling on (env_extr.cpp:637-810):
+     * one grid + one invf; env/noise interleaved; ch1 = balance */
+    sbr.put(1, 1);                                   /* bs_coupling */
+    grid(nl, gidx_l);
+    dtdf(nl); dtdf(nr);
+    invfw(invf_l);
+    envw(envs_l, nl);
+    noisew(nl, noise_l);
+    envw(envs_r, nr, true);
+    noisew(nr, noise_r, true);
+    addharmw(add_harm_l);
+    addharmw(add_harm_r);
+  } else if (envs_r) {
     /* sbr_channel_pair_element, coupling off (env_extr.cpp:617-820) */
     sbr.put(0, 1);                                   /* bs_coupling */
     grid(nl, gidx_l); grid(nr, gidx_r);
@@ -599,6 +627,8 @@ int dabplus_pack_batch(
     const int32_t *sbr_invf,     /* [S,nau,env_ch,n_q] invf modes or NULL */
     const uint8_t *sbr_addh,     /* [S,nau,env_ch,n_hi] or NULL */
     const int32_t *sbr_tgrid,    /* [S,nau,env_ch] grid menu idx or NULL */
+    const uint8_t *sbr_cpl,      /* [S,nau] stereo-SBR coupling flags or
+                                    NULL (apply_coupling) */
     const int32_t *ps_iid,       /* [S,nau,PS_NENV,20] or NULL */
     const int32_t *ps_iid_fine,  /* [S,nau,PS_NENV,20] or NULL */
     const uint8_t *ps_fine,      /* [S,nau] or NULL */
@@ -734,6 +764,8 @@ int dabplus_pack_batch(
         const int gr = (nr == 2 && tg && env_ch == 2) ? tg[1] : -1;
         /* header on AU 0 only (the reference sends it once per
          * superframe); matches sbr.payload_bits on the device */
+        const bool cpl = sbr_cpl && env_ch == 2
+            && sbr_cpl[size_t(s) * nau + a];
         write_sbr_payload(bw, el, nl, env_ch == 2 ? er : nullptr, nr,
                           nq, sbrp, a == 0,
                           iid_sel,
@@ -744,7 +776,7 @@ int dabplus_pack_batch(
                           (nq && env_ch == 2) ? nq + n_q : nullptr,
                           ah,
                           (ah && env_ch == 2) ? ah + n_hi : nullptr, n_hi,
-                          fine, gl, gr);
+                          fine, gl, gr, cpl);
       }
 
       au_start[a] = pos;

@@ -42,6 +42,11 @@ POINTS = [
     (48000, 4, 1, "sbr", 1.9),    # achieved +1.51 (was +2.19)
     (48000, 6, 1, "sbr", 3.8),    # achieved +3.42 (was +3.93)
     (48000, 8, 1, "sbr", 0.5),    # achieved +0.17
+    # stereo HE-AAC 56-80k (round 5: first measured + gated, with SBR
+    # channel coupling on the wire)
+    (48000, 7, 2, "sbr", 3.5),    # achieved +3.03
+    (48000, 8, 2, "sbr", 6.2),    # achieved +5.76
+    (48000, 10, 2, "sbr", 6.6),   # achieved +6.17
     (48000, 3, 2, "ps", -2.4),    # achieved -2.75 (beats the reference)
     (48000, 4, 2, "ps", -0.3),    # achieved -0.64 (beats the reference)
     (48000, 6, 2, "ps", 3.8),     # achieved +3.48 (was +3.14)
