@@ -305,9 +305,15 @@ def _lut_cols2(ia, ib, tab_np, n):
     oh_a = jax.nn.one_hot(ia, n, dtype=jnp.float32)
     oh_b = jax.nn.one_hot(ib, n, dtype=jnp.float32)
     m2 = jnp.asarray(packed.reshape(n, n * P), jnp.float32)
-    v = jnp.matmul(oh_a, m2).reshape(oh_a.shape[:-1] + (n, P))
-    out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b)
-                    ).astype(jnp.int32)
+    # HIGHEST precision required: packed columns reach 2^21 and the TPU's
+    # DEFAULT matmul precision truncates f32 operands to bf16, silently
+    # corrupting selected codes on TPU (CPU f32 dots are exact at any
+    # setting) - see the encode.py lut2 note (round-5 forensics)
+    hp = jax.lax.Precision.HIGHEST
+    v = jnp.matmul(oh_a, m2,
+                   precision=hp).reshape(oh_a.shape[:-1] + (n, P))
+    out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b,
+                               precision=hp)).astype(jnp.int32)
     cols = []
     for j in range(P):
         p = out[..., j]
@@ -351,13 +357,14 @@ class AuPackCtx:
         self.maxcb = -(-self.maxcb // 32) * 32
         # Static proof that the model.pack_superframes overflow warning is
         # unreachable: the rate loop's crash recovery (encode.py _recover)
-        # guarantees every AU's counted bits <= budget_au + allow with
-        # allow <= bitres_max; the content buffer additionally carries the
-        # X-PAD DSE ((pad_len+3) bytes framing) and byte alignment.  If this
-        # worst case ever exceeded the pack bound the encoder could emit a
-        # corrupt superframe, so fail at construction instead.
+        # guarantees every AU's counted bits <= budget_au + allow, and the
+        # model caps the reservoir draw at allow <= budget_au + bitres_max
+        # (model.py au_body); the content buffer additionally carries the
+        # X-PAD DSE ((pad_len+3) bytes framing) and byte alignment.  If
+        # this worst case ever exceeded the pack bound the encoder could
+        # emit a corrupt superframe, so fail at construction instead.
         pad_bits = (cfg.pad_len + 3) * 8 if cfg.pad_len else 0
-        worst_au_bits = enc.budget_au + enc.bitres_max + pad_bits + 8
+        worst_au_bits = 2 * enc.budget_au + enc.bitres_max + pad_bits + 8
         if worst_au_bits > 8 * self.maxcb:
             raise AssertionError(
                 f"device-pack AU bound {8 * self.maxcb} bits < worst-case "

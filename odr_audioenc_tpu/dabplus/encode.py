@@ -591,9 +591,19 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False,
         mp = np.stack(packs, -1).astype(np.float32)         # [a, b, P]
         P = len(packs)
         m2 = jnp.asarray(mp.reshape(n, n * P), jnp.float32)
-        v = jnp.matmul(oh_a, m2).reshape(oh_a.shape[:-1] + (n, P))
-        out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b)
-                        ).astype(jnp.int32)
+        # HIGHEST precision is REQUIRED: the packed radix-32 columns reach
+        # 2^20, and the TPU's DEFAULT matmul precision truncates f32
+        # operands to bf16 (8 mantissa bits) - which silently corrupted
+        # the selected lengths for any packed value >= 256 and made the
+        # counted AU bits diverge from the written stream by up to ~1000
+        # bits/AU on TPU only (CPU f32 dots are exact at any precision
+        # setting; every counting test runs on CPU, so only the TPU wire
+        # was wrong - caught round 5 via counted-vs-written forensics)
+        hp = jax.lax.Precision.HIGHEST
+        v = jnp.matmul(oh_a, m2,
+                       precision=hp).reshape(oh_a.shape[:-1] + (n, P))
+        out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b,
+                                   precision=hp)).astype(jnp.int32)
         return [(out[..., j // 4] >> (5 * (j % 4))) & 31 for j in range(k)]
 
     c1 = jnp.clip(q4 + 1, 0, 2)

@@ -444,7 +444,14 @@ class DabPlusEncoder:
             # (attacks AND offsets - where long-window quantisation noise is
             # audible against the quiet span) drain it
             hard = (se.max(-1) > 32.0 * (se.min(-1) + 1.0)).any(-1)
+            # cap the reservoir draw so one AU never exceeds budget_au +
+            # (budget_au + bitres_max): the O_LO=0 banking policy can
+            # accumulate several AUs' unspent budgets in `leftover`, and
+            # an uncapped draw both exceeds the device content-buffer
+            # bound (aupack maxcb soft term) and concentrates absurd bit
+            # counts on one AU (fdk likewise caps per-frame bits)
             allow = jnp.where(hard, leftover, leftover // 4)
+            allow = jnp.minimum(allow, self.budget_au + self.bitres_max)
             o = E.encode_au(spec, self.pt, self.band_m, self.bol,
                             max_sfb, budget_au + allow, nch, self.dtype,
                             tns_cfg=self.tns_cfg, transient=transient,
