@@ -297,28 +297,25 @@ def _lut_cols2(ia, ib, tab_np, n):
     f32-exact): the bilinear select touches 3x fewer columns."""
     C = tab_np.shape[-1]
     assert C % 3 == 0
-    t = np.asarray(tab_np).astype(np.int64).reshape(n, n, C // 3, 3)
-    assert t[..., 0].max() < 32 and t[..., 1:].max() < 256
-    packed = ((t[..., 0] << 16) | (t[..., 1] << 8)
-              | t[..., 2]).astype(np.float32)             # [a, b, C/3]
-    P = C // 3
-    oh_a = jax.nn.one_hot(ia, n, dtype=jnp.float32)
-    oh_b = jax.nn.one_hot(ib, n, dtype=jnp.float32)
-    m2 = jnp.asarray(packed.reshape(n, n * P), jnp.float32)
-    # HIGHEST precision required: packed columns reach 2^21 and the TPU's
-    # DEFAULT matmul precision truncates f32 operands to bf16, silently
-    # corrupting selected codes on TPU (CPU f32 dots are exact at any
-    # setting) - see the encode.py lut2 note (round-5 forensics)
-    hp = jax.lax.Precision.HIGHEST
-    v = jnp.matmul(oh_a, m2,
-                   precision=hp).reshape(oh_a.shape[:-1] + (n, P))
-    out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b,
-                               precision=hp)).astype(jnp.int32)
-    cols = []
-    for j in range(P):
-        p = out[..., j]
-        cols.extend([p >> 16, (p >> 8) & 0xFF, p & 0xFF])
-    return cols
+    t = np.asarray(tab_np).astype(np.int64).reshape(n, n, C)
+    # EXACTNESS NOTE (round-5 forensics): TPU DEFAULT matmul precision
+    # truncates f32 operands to bf16; the earlier (len<<16|hi<<8|lo)
+    # packing (values to 2^21) was silently corrupted on TPU and produced
+    # invalid device-packed superframes.  All columns are kept < 256
+    # (bf16-exact) with f32 accumulation instead - exact AND rides the
+    # MXU at full default-precision speed.  Do NOT re-pack values >= 256
+    # per column without Precision.HIGHEST.
+    assert t.max() < 256
+    mp = t.astype(np.float32)                             # [a, b, C]
+    oh_a = jax.nn.one_hot(ia, n, dtype=jnp.bfloat16)
+    oh_b = jax.nn.one_hot(ib, n, dtype=jnp.bfloat16)
+    m2 = jnp.asarray(mp.reshape(n, n * C), jnp.bfloat16)
+    v = jnp.matmul(oh_a, m2, preferred_element_type=jnp.float32) \
+        .reshape(oh_a.shape[:-1] + (n, C))
+    out = jnp.round(jnp.einsum("...nk,...n->...k", v.astype(jnp.bfloat16),
+                               oh_b, preferred_element_type=jnp.float32)
+                    ).astype(jnp.int32)
+    return [out[..., j] for j in range(C)]
 
 
 # ---------------------------------------------------------------------------

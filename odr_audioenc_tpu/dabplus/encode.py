@@ -198,7 +198,7 @@ def tns_analysis_fdk(spec, lo_start, hi_start, stop, dtype):
                 ah_hi=ah_hi, ah_lo=ah_lo, pred_gain=pg_hi)
 
 
-def tns_sync(t, dtype):
+def tns_sync(t):
     """Cross-channel HI-filter sync (FDKaacEnc_TnsSync, aacenc_tns.cpp:
     980-1051): when the two channels' quantized indices are similar
     (every |d| <= 1 and sum |d| <= 2), channel 1 adopts channel 0's
@@ -573,38 +573,30 @@ def spectral_bits_and_books(q, bctx, bandsel, dtype, return_cost=False,
         at [2048, 2, 960]).  Lengths are small ints: exact in bf16 with
         f32 accumulation."""
         k = len(table_rows)
-        oh_a = jax.nn.one_hot(ia, n, dtype=jnp.float32)
-        oh_b = jax.nn.one_hot(ib, n, dtype=jnp.float32)
-        # lengths (< 32) are packed 4-per-f32 column radix-32: the bilinear
-        # select touches 4x fewer columns (f32 is exact to 2^24; the select
-        # sums exactly one nonzero term).  This select-sum was 23% of the
-        # LC device step in the round-3 trace.
+        oh_a = jax.nn.one_hot(ia, n, dtype=jnp.bfloat16)
+        oh_b = jax.nn.one_hot(ib, n, dtype=jnp.bfloat16)
+        # EXACTNESS NOTE (round-5 forensics): the TPU's DEFAULT matmul
+        # precision truncates f32 operands to bf16 (8 mantissa bits).  An
+        # earlier radix-32 packing (4 lengths per f32 column, values up to
+        # 2^20) was silently corrupted by that truncation ON TPU ONLY -
+        # counted AU bits diverged from the written stream by up to ~1000
+        # bits/AU and TPU superframes could overflow (CPU f32 dots are
+        # exact, so the x64 test suite never saw it).  Every operand here
+        # is now a small int < 32 - exact in bf16 - with f32 accumulation,
+        # which is both exact and MXU-fast.  Do NOT re-pack multiple
+        # values per column beyond 256 without Precision.HIGHEST.
         tabs = [np.asarray(t).reshape(n, n).astype(np.int64)
                 for t in table_rows]
-        packs = []
-        for j0 in range(0, k, 4):
-            acc = np.zeros((n, n), np.int64)
-            for i, t in enumerate(tabs[j0:j0 + 4]):
-                assert t.max() < 32
-                acc |= t << (5 * i)
-            packs.append(acc)
-        mp = np.stack(packs, -1).astype(np.float32)         # [a, b, P]
-        P = len(packs)
-        m2 = jnp.asarray(mp.reshape(n, n * P), jnp.float32)
-        # HIGHEST precision is REQUIRED: the packed radix-32 columns reach
-        # 2^20, and the TPU's DEFAULT matmul precision truncates f32
-        # operands to bf16 (8 mantissa bits) - which silently corrupted
-        # the selected lengths for any packed value >= 256 and made the
-        # counted AU bits diverge from the written stream by up to ~1000
-        # bits/AU on TPU only (CPU f32 dots are exact at any precision
-        # setting; every counting test runs on CPU, so only the TPU wire
-        # was wrong - caught round 5 via counted-vs-written forensics)
-        hp = jax.lax.Precision.HIGHEST
-        v = jnp.matmul(oh_a, m2,
-                       precision=hp).reshape(oh_a.shape[:-1] + (n, P))
-        out = jnp.round(jnp.einsum("...nk,...n->...k", v, oh_b,
-                                   precision=hp)).astype(jnp.int32)
-        return [(out[..., j // 4] >> (5 * (j % 4))) & 31 for j in range(k)]
+        for t in tabs:
+            assert t.max() < 32
+        mp = np.stack(tabs, -1).astype(np.float32)          # [a, b, k]
+        m2 = jnp.asarray(mp.reshape(n, n * k), jnp.bfloat16)
+        v = jnp.matmul(oh_a, m2, preferred_element_type=jnp.float32) \
+            .reshape(oh_a.shape[:-1] + (n, k))
+        out = jnp.round(jnp.einsum("...nk,...n->...k", v.astype(jnp.bfloat16),
+                                   oh_b, preferred_element_type=jnp.float32)
+                        ).astype(jnp.int32)
+        return [out[..., j] for j in range(k)]
 
     c1 = jnp.clip(q4 + 1, 0, 2)
     a1 = c1[..., 0] * 3 + c1[..., 1]
@@ -1073,7 +1065,7 @@ def encode_au(spec, pt, band_m, bol, max_sfb, budget_bits, n_ch, dtype,
                             tns_cfg["stop_line"])
         t = tns_analysis_fdk(spec, start, mid, stop, dtype)
         if n_ch_s == 2:
-            t = tns_sync(t, dtype)
+            t = tns_sync(t)
         if is_short is not None:
             # short blocks already confine noise to 5 ms windows; our TNS
             # filter range/syntax is long-window only

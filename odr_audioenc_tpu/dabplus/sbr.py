@@ -575,9 +575,8 @@ def apply_coupling(side, params):
     env2 = side["sbr_env2"]          # [S,nau,2,2,n_hi] (3.0 dB indices)
     tr = side["sbr_transient"]       # [S,nau,2] bool
     nq = side["sbr_noise_q"]         # [S,nau,2,n_q] ints 0..30
-    ah = side["sbr_addharm"]         # [S,nau,2,n_hi]
     tg = side["sbr_tgrid"]           # [S,nau,2]
-    n_hi, n_q = params.n_hi, params.n_q
+    n_q = params.n_q
 
     grids_ok = (tr[..., 0] == tr[..., 1]) \
         & (~tr[..., 0] | (tg[..., 0] == tg[..., 1]))
@@ -643,7 +642,6 @@ def apply_coupling(side, params):
     side["sbr_tgrid"] = jnp.stack(
         [tg[..., 0], jnp.where(cpl, tg[..., 0], tg[..., 1])], axis=-1)
     side["sbr_cpl"] = cpl
-    del ah
     return side
 
 
